@@ -1,0 +1,31 @@
+"""metadrive_ped_tpu — a TPU-native rebuild of the MetaDrive driving simulator.
+
+The reference (zhuhaozh/metadrive_ped, /root/reference) is a single-process
+Panda3D/Bullet object-graph simulator. This package inverts that design: all
+per-object state lives in struct-of-arrays pytrees batched over an env axis
+``[E, ...]``, and one jit-compiled ``step`` advances every environment in
+lockstep on TPU. Maps are compiled host-side into fixed-size ``SceneSpec``
+arrays (lane closed forms + boundary segments + routes) so procedural scene
+diversity survives ``jax.jit``.
+
+Public API mirrors the reference's env surface:
+    >>> from metadrive_ped_tpu import MetaDriveEnv
+    >>> env = MetaDriveEnv(dict(num_envs=1024, map="SCS"))
+    >>> obs, info = env.reset(seed=0)
+    >>> obs, reward, terminated, truncated, info = env.step(actions)
+"""
+
+from metadrive_ped_tpu.version import VERSION, __version__
+
+__all__ = ["MetaDriveEnv", "SafeMetaDriveEnv", "VERSION", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import metadrive_ped_tpu` light (no jax warm-up).
+    if name == "MetaDriveEnv":
+        from metadrive_ped_tpu.envs.metadrive_env import MetaDriveEnv
+        return MetaDriveEnv
+    if name == "SafeMetaDriveEnv":
+        from metadrive_ped_tpu.envs.safe_metadrive_env import SafeMetaDriveEnv
+        return SafeMetaDriveEnv
+    raise AttributeError(f"module 'metadrive_ped_tpu' has no attribute {name!r}")

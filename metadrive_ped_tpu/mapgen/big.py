@@ -1,0 +1,145 @@
+"""BIG — Block Incremental Generation (host-side).
+
+Re-implements the reference's depth-first random block search with
+backtracking (metadrive/component/algorithm/BIG.py:14-164): forward /
+destruct_current / search_sibling / back FSM with MAX_TRIAL=5 re-samples per
+block. The np_random draw order inside sample_block matches the reference
+(type choice, socket choice, block seed) so that maps are structurally
+reproducible per seed.
+"""
+import numpy as np
+
+from metadrive_ped_tpu.mapgen.blocks import (
+    BLOCK_DIST_V2, BLOCK_NAME_TO_CLASS, PG_BLOCKS, FirstPGBlock
+)
+from metadrive_ped_tpu.mapgen.network import NodeRoadNetwork
+
+
+class NextStep:
+    back = 0
+    forward = 1
+    search_sibling = 3
+    destruct_current = 4
+
+
+class BigGenerateMethod:
+    BLOCK_SEQUENCE = "block_sequence"
+    BLOCK_NUM = "block_num"
+
+
+class BIG:
+    MAX_TRIAL = 5
+
+    def __init__(self, lane_num, lane_width, global_network, exit_length=50.0, random_seed=None):
+        self.np_random = np.random.RandomState(random_seed)
+        self._lane_num = lane_num
+        self._lane_width = lane_width
+        self._global_network = global_network
+        self._exit_length = exit_length
+        self._block_sequence = None
+        self.block_num = None
+        self.blocks = [FirstPGBlock(global_network, lane_width, lane_num, length=exit_length)]
+        self.next_step = NextStep.forward
+
+        # Redistribute probability mass of not-yet-ported block types over the
+        # implemented ones (documented divergence; see blocks.py).
+        names = [n for n in BLOCK_DIST_V2 if n in BLOCK_NAME_TO_CLASS]
+        probs = np.array([BLOCK_DIST_V2[n] for n in names], dtype=np.float64)
+        self._block_names = names
+        self._block_probs = probs / probs.sum()
+
+    def generate(self, generate_method, parameter):
+        if generate_method == BigGenerateMethod.BLOCK_NUM:
+            self.block_num = int(parameter) + 1
+        elif generate_method == BigGenerateMethod.BLOCK_SEQUENCE:
+            self.block_num = len(parameter) + 1
+            self._block_sequence = FirstPGBlock.ID + str(parameter)
+        else:
+            raise ValueError(generate_method)
+        while not self._tick():
+            pass
+        return self._global_network
+
+    # -- FSM (reference BIG.py:79-176) -------------------------------------
+    def _tick(self):
+        if len(self.blocks) >= self.block_num and self.next_step == NextStep.forward:
+            return True
+        if self.next_step == NextStep.forward:
+            self._forward()
+        elif self.next_step == NextStep.destruct_current:
+            self._destruct_current()
+        elif self.next_step == NextStep.search_sibling:
+            self._search_sibling()
+        elif self.next_step == NextStep.back:
+            self._go_back()
+        return False
+
+    def sample_block(self):
+        if self._block_sequence is None:
+            name = self.np_random.choice(self._block_names, p=self._block_probs)
+            block_type = BLOCK_NAME_TO_CLASS[str(name)]
+        else:
+            type_id = self._block_sequence[len(self.blocks)]
+            if type_id not in PG_BLOCKS:
+                raise ValueError(f"Block type '{type_id}' not implemented yet (have {list(PG_BLOCKS)})")
+            block_type = PG_BLOCKS[type_id]
+        socket_idx = self.np_random.choice(self.blocks[-1].get_socket_indices())
+        return block_type(
+            len(self.blocks),
+            self.blocks[-1].get_socket(socket_idx),
+            self._global_network,
+            self.np_random.randint(0, 10000),
+        )
+
+    def _forward(self):
+        block = self.sample_block()
+        self.blocks.append(block)
+        ok = block.construct()
+        self.next_step = NextStep.forward if ok else NextStep.destruct_current
+
+    def _destruct_current(self):
+        block = self.blocks[-1]
+        block.destruct()
+        self.next_step = (
+            NextStep.search_sibling if block.number_of_sample_trial < self.MAX_TRIAL else NextStep.back
+        )
+
+    def _search_sibling(self):
+        block = self.blocks[-1]
+        if len(self.blocks) == 1:
+            self.next_step = NextStep.forward
+            return
+        if block.number_of_sample_trial < self.MAX_TRIAL:
+            ok = block.construct()
+            self.next_step = NextStep.forward if ok else NextStep.destruct_current
+        else:
+            self.next_step = NextStep.back
+
+    def _go_back(self):
+        self.blocks.pop()
+        last = self.blocks[-1]
+        last.destruct()
+        self.next_step = NextStep.search_sibling
+
+
+def generate_map(seed, map_config):
+    """Build the road network + block list for one scenario seed.
+
+    map_config keys mirror the reference map_config
+    (metadrive/envs/metadrive_env.py:26-32): type/config/lane_width/lane_num/
+    exit_length.
+    """
+    network = NodeRoadNetwork()
+    big = BIG(
+        lane_num=map_config.get("lane_num", 3),
+        lane_width=map_config.get("lane_width", 3.5),
+        global_network=network,
+        exit_length=map_config.get("exit_length", 50.0),
+        random_seed=seed,
+    )
+    cfg = map_config.get("config", 3)
+    if isinstance(cfg, str):
+        big.generate(BigGenerateMethod.BLOCK_SEQUENCE, cfg)
+    else:
+        big.generate(BigGenerateMethod.BLOCK_NUM, int(cfg))
+    return network, big.blocks

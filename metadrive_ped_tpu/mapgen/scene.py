@@ -1,0 +1,255 @@
+"""Scene compiler: road network -> fixed-size `SceneSpec` arrays.
+
+This is the bridge between host-side procedural generation (mapgen/big.py)
+and the jit'd TPU step. Each scenario seed compiles once into flat numpy
+arrays (mirroring the reference's per-seed map cache,
+metadrive/manager/pg_map_manager.py:52-66); `build_scene_pack` stacks many
+scenarios along a leading axis with padding so envs can index their scenario
+inside jit.
+
+Array schema (single scene):
+  lanes   : closed-form geometry (straight / circular), road membership,
+            successor/left/right adjacency
+  roads   : contiguous lane ranges [lane0, lane0+nlanes), successor road
+  route   : ego checkpoint roads (reference: NodeNetworkNavigation.set_route,
+            node_network_navigation.py:93-128)
+  segs    : boundary segments — yellow center line, white side line,
+            sidewalk (reference builds these as Bullet ghost/static bodies,
+            component/block/base_block.py + pg_block.py:259-333)
+  npcs    : traffic spawn slots (reference: PGTrafficManager trigger mode,
+            manager/traffic_manager.py:231-277)
+"""
+import math
+
+import numpy as np
+
+from metadrive_ped_tpu.constants import (
+    LANE_CIRCULAR, LINE_CONTINUOUS, LINE_SIDE,
+    SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
+)
+from metadrive_ped_tpu.mapgen.big import generate_map
+from metadrive_ped_tpu.mapgen.network import Road
+
+VEHICLE_GAP = 10.0  # reference: traffic_manager.py:32 VEHICLE_GAP
+SIDEWALK_LINE_DIST = 0.6  # reference: constants.py:320
+SIDEWALK_HALF_WIDTH = 1.0  # sidewalk is 2 m wide (constants.py:319)
+LINE_CONTACT_HALF_WIDTH = 0.075  # lane line width 0.15 (constants.py:314)
+ARC_CHORD_LEN = 4.0
+
+# Traffic vehicle class sampling weights over (s, m, l, xl, default)
+# (reference: vehicle_type.py random_vehicle_type + traffic_manager.py:300).
+NPC_CLASS_PROBS = np.array([0.2, 0.3, 0.3, 0.2, 0.0])
+
+
+def _lane_polyline(lane, lateral, max_chord=ARC_CHORD_LEN):
+    """Sample a lateral-offset line of `lane` as a polyline."""
+    if lane.kind == LANE_CIRCULAR:
+        n = max(2, int(math.ceil(lane.length / max_chord)) + 1)
+    else:
+        n = 2
+    longs = np.linspace(0.0, lane.length, n)
+    return np.stack([lane.position(s, lateral) for s in longs])
+
+
+def _polyline_segments(points):
+    return points[:-1], points[1:]
+
+
+def compile_scene(seed, config):
+    """Compile one scenario seed into a dict of flat numpy arrays."""
+    map_config = config.get("map_config", {})
+    network, blocks = generate_map(seed, map_config)
+
+    # ---- enumerate lanes/roads (contiguous lane ids per road) ------------
+    lane_list = []
+    road_list = []  # (road, lane0, nlanes)
+    road_key_to_id = {}
+    for start in network.graph:
+        for end in network.graph[start]:
+            lanes = network.graph[start][end]
+            rid = len(road_list)
+            road_key_to_id[(start, end)] = rid
+            road_list.append((Road(start, end), len(lane_list), len(lanes)))
+            lane_list.extend(lanes)
+
+    L, R = len(lane_list), len(road_list)
+    lane_kind = np.zeros(L, np.int32)
+    lane_p0 = np.zeros((L, 2), np.float32)
+    lane_dir = np.zeros((L, 2), np.float32)
+    lane_radius = np.ones(L, np.float32)
+    lane_start_phase = np.zeros(L, np.float32)
+    lane_arc_dir = np.ones(L, np.float32)
+    lane_width = np.zeros(L, np.float32)
+    lane_length = np.zeros(L, np.float32)
+    lane_angle = np.zeros(L, np.float32)  # signed arc angle, 0 for straight
+    lane_road = np.zeros(L, np.int32)
+    lane_idx_in_road = np.zeros(L, np.int32)
+
+    for rid, (road, lane0, nlanes) in enumerate(road_list):
+        for i in range(nlanes):
+            lid = lane0 + i
+            lane = lane_list[lid]
+            lane_road[lid] = rid
+            lane_idx_in_road[lid] = i
+            lane_width[lid] = lane.width
+            lane_length[lid] = lane.length
+            if lane.kind == LANE_CIRCULAR:
+                lane_kind[lid] = LANE_CIRCULAR
+                lane_p0[lid] = lane.center
+                lane_radius[lid] = lane.radius
+                lane_start_phase[lid] = lane.start_phase
+                lane_arc_dir[lid] = lane.direction  # +1 ccw, -1 cw
+                lane_angle[lid] = lane.angle
+            else:
+                lane_p0[lid] = lane.start
+                lane_dir[lid] = lane.direction
+
+    # ---- road adjacency ---------------------------------------------------
+    road_lane0 = np.array([r[1] for r in road_list], np.int32) if R else np.zeros(0, np.int32)
+    road_nlanes = np.array([r[2] for r in road_list], np.int32) if R else np.zeros(0, np.int32)
+    road_negative = np.array(
+        [r[0].is_negative_road() for r in road_list], bool
+    ) if R else np.zeros(0, bool)
+    road_succ = np.full(R, -1, np.int32)
+    for rid, (road, _, _) in enumerate(road_list):
+        nxts = network.graph.get(road.end_node, {})
+        for end2 in nxts:
+            road_succ[rid] = road_key_to_id[(road.end_node, end2)]
+            break
+
+    lane_succ = np.full(L, -1, np.int32)
+    lane_left = np.full(L, -1, np.int32)
+    lane_right = np.full(L, -1, np.int32)
+    for lid in range(L):
+        rid = lane_road[lid]
+        i = lane_idx_in_road[lid]
+        if i > 0:
+            lane_left[lid] = lid - 1
+        if i < road_nlanes[rid] - 1:
+            lane_right[lid] = lid + 1
+        srid = road_succ[rid]
+        if srid >= 0:
+            j = min(i, road_nlanes[srid] - 1)
+            lane_succ[lid] = road_lane0[srid] + j
+
+    # ---- ego route (reference: auto_assign_task + shortest_path,
+    #      node_network_navigation.py:70-128) -------------------------------
+    rs_dest = np.random.RandomState(seed)
+    last_block = blocks[-1]
+    sockets = last_block.get_socket_list()
+    socket = rs_dest.choice(sockets) if len(sockets) > 1 else sockets[0]
+    dest_node = socket.positive_road.end_node
+    spawn_lane_index = (">", ">>", 0)
+    checkpoints = network.shortest_path(spawn_lane_index, dest_node)
+    assert len(checkpoints) >= 2, "no route to destination"
+    route_roads = [road_key_to_id[(a, b)] for a, b in zip(checkpoints[:-1], checkpoints[1:])]
+
+    # ---- boundary segments ------------------------------------------------
+    seg_p0, seg_p1, seg_type, seg_halfwidth = [], [], [], []
+
+    def add_polyline(points, typ, halfwidth):
+        a, b = _polyline_segments(points)
+        for p, q in zip(a, b):
+            seg_p0.append(p)
+            seg_p1.append(q)
+            seg_type.append(typ)
+            seg_halfwidth.append(halfwidth)
+
+    for rid, (road, lane0, nlanes) in enumerate(road_list):
+        first, last = lane_list[lane0], lane_list[lane0 + nlanes - 1]
+        w = first.width
+        if first.line_types[0] in (LINE_CONTINUOUS, LINE_SIDE):
+            add_polyline(_lane_polyline(first, -w / 2), SEG_YELLOW_LINE, LINE_CONTACT_HALF_WIDTH)
+        if last.line_types[1] in (LINE_CONTINUOUS, LINE_SIDE):
+            add_polyline(_lane_polyline(last, w / 2), SEG_WHITE_LINE, LINE_CONTACT_HALF_WIDTH)
+        if last.line_types[1] == LINE_SIDE:
+            off = w / 2 + SIDEWALK_LINE_DIST + SIDEWALK_HALF_WIDTH
+            add_polyline(_lane_polyline(last, off), SEG_SIDEWALK, SIDEWALK_HALF_WIDTH)
+
+    B = len(seg_p0)
+
+    # ---- traffic spawn slots (trigger mode,
+    #      traffic_manager.py:231-277 _create_vehicles_once) ----------------
+    density = config.get("traffic_density", 0.0)
+    npc_lane, npc_long, npc_class, npc_trigger = [], [], [], []
+    if density > 0:
+        rs_traffic = np.random.RandomState((seed * 1000003 + 7) % (2 ** 31))
+        for block in blocks[1:]:
+            trigger_lanes = block.get_intermediate_spawn_lanes()
+            candidates = []
+            for lanes in trigger_lanes:
+                for lane in lanes:
+                    total = int(lane.length / VEHICLE_GAP)
+                    for k in range(total):
+                        candidates.append((lane, k * VEHICLE_GAP))
+            total_len = sum(l.length for lanes in trigger_lanes for l in lanes)
+            n_spawn = int(math.floor(math.floor(total_len / VEHICLE_GAP) * density))
+            rs_traffic.shuffle(candidates)
+            selected = candidates[:min(n_spawn, len(candidates))]
+            trig_road = block.pre_block_socket.positive_road
+            trig_id = road_key_to_id[trig_road.key()]
+            for lane, long in selected:
+                cls = int(rs_traffic.choice(5, p=NPC_CLASS_PROBS))
+                lid = lane_list.index(lane)
+                npc_lane.append(lid)
+                npc_long.append(long)
+                npc_class.append(cls)
+                npc_trigger.append(trig_id)
+    N = len(npc_lane)
+
+    return dict(
+        lane_kind=lane_kind, lane_p0=lane_p0, lane_dir=lane_dir, lane_radius=lane_radius,
+        lane_start_phase=lane_start_phase, lane_arc_dir=lane_arc_dir, lane_width=lane_width,
+        lane_length=lane_length, lane_angle=lane_angle, lane_road=lane_road,
+        lane_idx_in_road=lane_idx_in_road, lane_succ=lane_succ, lane_left=lane_left,
+        lane_right=lane_right, lane_valid=np.ones(L, bool),
+        road_lane0=road_lane0, road_nlanes=road_nlanes, road_negative=road_negative,
+        road_succ=road_succ, road_valid=np.ones(R, bool),
+        route_roads=np.asarray(route_roads, np.int32), route_len=np.int32(len(route_roads)),
+        seg_p0=np.asarray(seg_p0, np.float32).reshape(B, 2),
+        seg_p1=np.asarray(seg_p1, np.float32).reshape(B, 2),
+        seg_type=np.asarray(seg_type, np.int32), seg_halfwidth=np.asarray(seg_halfwidth, np.float32),
+        seg_valid=np.ones(B, bool),
+        npc_lane=np.asarray(npc_lane, np.int32), npc_long=np.asarray(npc_long, np.float32),
+        npc_class=np.asarray(npc_class, np.int32), npc_trigger_road=np.asarray(npc_trigger, np.int32),
+        npc_valid=np.ones(N, bool),
+    )
+
+
+_PAD_VALUES = dict(route_roads=-1, npc_lane=0, npc_trigger_road=-1, lane_succ=-1, lane_left=-1,
+                   lane_right=-1, road_succ=-1)
+
+
+def _pad_to(arr, n, pad_value=0):
+    if arr.ndim == 0:
+        return arr
+    if arr.shape[0] == n:
+        return arr
+    pad_shape = (n - arr.shape[0],) + arr.shape[1:]
+    filler = np.full(pad_shape, pad_value, dtype=arr.dtype)
+    return np.concatenate([arr, filler], axis=0)
+
+
+def build_scene_pack(seeds, config, min_npc_slots=0):
+    """Compile scenes for all seeds, stack with padding -> dict [S, ...]."""
+    scenes = [compile_scene(s, config) for s in seeds]
+    keys = scenes[0].keys()
+    axes_max = {}
+    for k in keys:
+        arrs = [sc[k] for sc in scenes]
+        if arrs[0].ndim > 0:
+            axes_max[k] = max(a.shape[0] for a in arrs)
+    # shared pad sizes per array family
+    if "npc_lane" in axes_max:
+        npc_n = max(axes_max["npc_lane"], min_npc_slots, 1)
+        for k in ("npc_lane", "npc_long", "npc_class", "npc_trigger_road", "npc_valid"):
+            axes_max[k] = npc_n
+    pack = {}
+    for k in keys:
+        arrs = [sc[k] for sc in scenes]
+        if arrs[0].ndim == 0:
+            pack[k] = np.stack(arrs)
+        else:
+            n = max(axes_max[k], 1)
+            pack[k] = np.stack([_pad_to(a, n, _PAD_VALUES.get(k, 0)) for a in arrs])
+    return pack
