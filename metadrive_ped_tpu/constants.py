@@ -70,16 +70,28 @@ DEFAULT_VEHICLE_MASS = 1100.0
 # vehicle_type.py. Index order matches the traffic-sampling weight vector
 # [s, m, l, xl, default] (metadrive/component/vehicle/vehicle_type.py:283-294).
 VEHICLE_CLASSES = {
-    "s": dict(length=4.25, width=1.7, mass=800.0, engine=450.0, brake=57.5, steer=50.0, vmax=80.0),
-    "m": dict(length=4.6, width=1.85, mass=1200.0, engine=750.0, brake=105.0, steer=45.0, vmax=80.0),
-    "l": dict(length=4.87, width=2.046, mass=1300.0, engine=550.0, brake=90.0, steer=40.0, vmax=80.0),
-    "xl": dict(length=5.74, width=2.3, mass=1600.0, engine=600.0, brake=75.0, steer=35.0, vmax=80.0),
+    "s": dict(length=4.3, width=1.7, mass=800.0, engine=450.0, brake=57.5, steer=50.0,
+              vmax=80.0, wheelbase=2.495),
+    "m": dict(length=4.6, width=1.85, mass=1200.0, engine=750.0, brake=105.0, steer=45.0,
+              vmax=80.0, wheelbase=2.488),
+    "l": dict(length=4.87, width=2.046, mass=1300.0, engine=550.0, brake=90.0, steer=40.0,
+              vmax=80.0, wheelbase=2.748),
+    "xl": dict(length=5.74, width=2.3, mass=1600.0, engine=600.0, brake=75.0, steer=35.0,
+               vmax=80.0, wheelbase=2.801),
     "default": dict(
         length=DEFAULT_VEHICLE_LENGTH, width=DEFAULT_VEHICLE_WIDTH, mass=DEFAULT_VEHICLE_MASS,
-        engine=800.0, brake=130.0, steer=40.0, vmax=80.0
+        engine=800.0, brake=130.0, steer=40.0, vmax=80.0, wheelbase=2.469
     ),
 }
 VEHICLE_CLASS_ORDER = ("s", "m", "l", "xl", "default")
+
+# The reference's validated bicycle fit for DefaultVehicle uses
+# accel 3 m/s^2 at full throttle, 9 m/s^2 at full brake, and an effective
+# turning wheelbase of 4 m (bicycle_model.py:37-46). Other classes scale by
+# engine force / mass and physical wheelbase.
+BICYCLE_REF_ACCEL = 3.0
+BICYCLE_REF_BRAKE = 9.0
+BICYCLE_REF_WHEELBASE_EFF = 4.0
 
 # Vehicle obs class const (reference: base_vehicle.py:80 MAX_STEERING = 60,
 # used *only* for normalizing the steering observation in state_obs.py:114).

@@ -1,0 +1,134 @@
+"""Pytree state structures.
+
+The reference scatters per-object state across Python objects
+(BaseVehicle fields, manager dicts). Here everything is a struct-of-arrays
+pytree batched over the env axis ``[E, ...]`` (NPCs add a slot axis
+``[E, N, ...]``), so one jit'd step advances all envs in lockstep.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class Scene:
+    """Stacked per-scenario arrays ``[S, ...]`` (see mapgen/scene.py)."""
+
+    lane_kind: jnp.ndarray
+    lane_p0: jnp.ndarray
+    lane_dir: jnp.ndarray
+    lane_radius: jnp.ndarray
+    lane_start_phase: jnp.ndarray
+    lane_arc_dir: jnp.ndarray
+    lane_width: jnp.ndarray
+    lane_length: jnp.ndarray
+    lane_angle: jnp.ndarray
+    lane_road: jnp.ndarray
+    lane_idx_in_road: jnp.ndarray
+    lane_succ: jnp.ndarray
+    lane_left: jnp.ndarray
+    lane_right: jnp.ndarray
+    lane_valid: jnp.ndarray
+    road_lane0: jnp.ndarray
+    road_nlanes: jnp.ndarray
+    road_negative: jnp.ndarray
+    road_succ: jnp.ndarray
+    road_valid: jnp.ndarray
+    route_roads: jnp.ndarray
+    route_len: jnp.ndarray
+    seg_p0: jnp.ndarray
+    seg_p1: jnp.ndarray
+    seg_type: jnp.ndarray
+    seg_halfwidth: jnp.ndarray
+    seg_valid: jnp.ndarray
+    npc_lane: jnp.ndarray
+    npc_long: jnp.ndarray
+    npc_class: jnp.ndarray
+    npc_trigger_road: jnp.ndarray
+    npc_valid: jnp.ndarray
+
+    @classmethod
+    def from_pack(cls, pack: dict) -> "Scene":
+        return cls(**{k: jnp.asarray(np.asarray(v)) for k, v in pack.items()})
+
+    @property
+    def num_scenarios(self):
+        return self.lane_kind.shape[0]
+
+    @property
+    def max_lanes(self):
+        return self.lane_kind.shape[1]
+
+    @property
+    def max_npcs(self):
+        return self.npc_lane.shape[1]
+
+
+@struct.dataclass
+class VehicleParams:
+    """Per-vehicle-class dynamics parameters, batched alongside the vehicle."""
+
+    length: jnp.ndarray
+    width: jnp.ndarray
+    accel_gain: jnp.ndarray      # full-throttle acceleration [m/s^2]
+    brake_gain: jnp.ndarray      # full-brake deceleration [m/s^2]
+    max_steer_rad: jnp.ndarray   # max road-wheel angle [rad]
+    max_speed_kmh: jnp.ndarray
+    wheelbase_eff: jnp.ndarray   # effective wheelbase of the validated
+                                 # bicycle fit (reference: bicycle_model.py:46)
+
+
+@struct.dataclass
+class EgoState:
+    pos: jnp.ndarray            # [E,2]
+    heading: jnp.ndarray        # [E]
+    speed: jnp.ndarray          # [E] signed m/s (negative = reversing)
+    vel_dir: jnp.ndarray        # [E] slip angle beta (bicycle_model.py:32)
+    steering: jnp.ndarray       # [E] normalized applied steering
+    throttle: jnp.ndarray       # [E] normalized throttle/brake
+    last_action: jnp.ndarray    # [E,2] action at t-1 (deque slot 0)
+    current_action: jnp.ndarray  # [E,2] action at t (deque slot 1)
+    last_pos: jnp.ndarray       # [E,2]
+    last_heading: jnp.ndarray   # [E]
+    lane: jnp.ndarray           # [E] current lane id
+    route_idx: jnp.ndarray      # [E] checkpoint index into route_roads
+    on_lane: jnp.ndarray        # [E] bool
+    crash_vehicle: jnp.ndarray  # [E] bool
+    crash_object: jnp.ndarray   # [E] bool
+    crash_sidewalk: jnp.ndarray  # [E] bool
+    on_yellow_line: jnp.ndarray  # [E] bool
+    on_white_line: jnp.ndarray   # [E] bool
+    out_of_route: jnp.ndarray    # [E] bool
+    params: VehicleParams        # [E] fields
+
+
+@struct.dataclass
+class NpcState:
+    pos: jnp.ndarray            # [E,N,2]
+    heading: jnp.ndarray        # [E,N]
+    speed: jnp.ndarray          # [E,N]
+    vel_dir: jnp.ndarray        # [E,N]
+    lane: jnp.ndarray           # [E,N] routing target lane
+    active: jnp.ndarray        # [E,N] bool — spawned and alive
+    released: jnp.ndarray      # [E,N] bool — trigger fired (Trigger mode)
+    heading_pid_i: jnp.ndarray  # [E,N] PID integrator
+    heading_pid_e: jnp.ndarray  # [E,N] PID previous error
+    lateral_pid_i: jnp.ndarray  # [E,N]
+    lateral_pid_e: jnp.ndarray  # [E,N]
+    params: VehicleParams       # [E,N] fields
+
+
+@struct.dataclass
+class SimState:
+    rng: jnp.ndarray            # [E,2] per-env PRNG key data
+    sidx: jnp.ndarray           # [E] scenario index into Scene arrays
+    step_count: jnp.ndarray     # [E] episode length so far
+    episode_reward: jnp.ndarray  # [E]
+    ego: EgoState
+    npc: NpcState
+
+    @property
+    def num_envs(self):
+        return self.sidx.shape[0]

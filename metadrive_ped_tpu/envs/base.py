@@ -1,0 +1,346 @@
+"""Vectorized env core: one jit'd step advances all envs in lockstep.
+
+This is the TPU-native replacement for the reference's engine step protocol
+(BaseEnv.step -> engine.before_step/step/after_step,
+envs/base_env.py:426-463 + engine/base_engine.py:402-478): the manager loop
+becomes a fixed pipeline of batched kernels —
+
+    actions -> dynamics (x5 substeps) -> traffic release -> localization
+            -> collision flags -> reward/done/cost -> obs -> auto-reset
+
+All state is a SimState pytree [E, ...]; maps are Scene arrays [S, ...]
+compiled host-side once (mapgen/). Auto-reset re-spawns done envs in-place,
+sampling a fresh scenario per the reference's seed cycling
+(base_env.py:886-891).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metadrive_ped_tpu.config import Config
+from metadrive_ped_tpu.constants import (
+    BICYCLE_REF_ACCEL, BICYCLE_REF_BRAKE, BICYCLE_REF_WHEELBASE_EFF,
+    SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
+    VEHICLE_CLASS_ORDER, VEHICLE_CLASSES,
+)
+from metadrive_ped_tpu.core.structs import EgoState, NpcState, Scene, SimState, VehicleParams
+from metadrive_ped_tpu.mapgen.scene import build_scene_pack
+from metadrive_ped_tpu.obs import state_obs
+from metadrive_ped_tpu.ops import collision, dynamics, idm, localization
+from metadrive_ped_tpu.ops import lane_geom
+
+# ---- per-class parameter tables (constants.py VEHICLE_CLASSES) ------------
+_CLS = [VEHICLE_CLASSES[k] for k in VEHICLE_CLASS_ORDER]
+_TBL = {
+    "length": np.array([c["length"] for c in _CLS], np.float32),
+    "width": np.array([c["width"] for c in _CLS], np.float32),
+    "accel": np.array(
+        [BICYCLE_REF_ACCEL * (c["engine"] / c["mass"]) / (800.0 / 1100.0) for c in _CLS], np.float32
+    ),
+    "brake": np.array([BICYCLE_REF_BRAKE * (c["brake"] / 130.0) for c in _CLS], np.float32),
+    "steer": np.array([np.radians(c["steer"]) for c in _CLS], np.float32),
+    "vmax": np.array([c["vmax"] for c in _CLS], np.float32),
+    "wheelbase": np.array(
+        [BICYCLE_REF_WHEELBASE_EFF * c["wheelbase"] / VEHICLE_CLASSES["default"]["wheelbase"] for c in _CLS],
+        np.float32,
+    ),
+}
+DEFAULT_CLASS_IDX = VEHICLE_CLASS_ORDER.index("default")
+
+
+def make_vehicle_params(class_idx):
+    t = {k: jnp.asarray(v) for k, v in _TBL.items()}
+    return VehicleParams(
+        length=t["length"][class_idx], width=t["width"][class_idx],
+        accel_gain=t["accel"][class_idx], brake_gain=t["brake"][class_idx],
+        max_steer_rad=t["steer"][class_idx], max_speed_kmh=t["vmax"][class_idx],
+        wheelbase_eff=t["wheelbase"][class_idx],
+    )
+
+
+class BaseVectorEnv:
+    """Shared machinery; reward/done/cost live in subclasses
+    (mirrors BaseEnv -> MetaDriveEnv in the reference)."""
+
+    @classmethod
+    def default_config(cls) -> Config:
+        return Config(
+            dict(
+                num_envs=16,
+                start_seed=0,
+                num_scenarios=1,
+                map=3,  # int block count or block-ID string (pg_map.py:17-36)
+                map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0),
+                traffic_density=0.1,
+                traffic_mode="trigger",  # "trigger" | "respawn" (traffic_manager.py:20-29)
+                horizon=None,
+                truncate_as_terminate=False,
+                auto_reset=True,
+                decision_repeat=5,
+                physics_world_step_size=0.02,
+                vehicle_config=dict(
+                    enable_reverse=False,
+                    max_engine_force=800.0,
+                    max_brake_force=130.0,
+                    max_steering=40.0,
+                    max_speed_km_h=80.0,
+                    lidar=dict(num_lasers=240, distance=50.0, num_others=0),
+                    side_detector=dict(num_lasers=0, distance=50.0),
+                    lane_line_detector=dict(num_lasers=0, distance=20.0),
+                ),
+                # reward/cost/termination scheme (metadrive_env.py:68-89)
+                success_reward=10.0,
+                out_of_road_penalty=5.0,
+                crash_vehicle_penalty=5.0,
+                crash_object_penalty=5.0,
+                driving_reward=1.0,
+                speed_reward=0.1,
+                use_lateral_reward=False,
+                crash_vehicle_cost=1.0,
+                crash_object_cost=1.0,
+                out_of_road_cost=1.0,
+                out_of_route_done=False,
+                on_continuous_line_done=True,
+                crash_vehicle_done=True,
+                crash_object_done=True,
+                crash_human_done=True,
+            )
+        )
+
+    def __init__(self, config=None):
+        self.config = self.default_config()
+        if config:
+            self.config.update(config)
+        cfg = self.config
+        seeds = list(range(cfg["start_seed"], cfg["start_seed"] + cfg["num_scenarios"]))
+        map_cfg = dict(cfg["map_config"])
+        map_cfg["config"] = cfg["map"]
+        pack = build_scene_pack(
+            seeds, dict(map_config=map_cfg, traffic_density=cfg["traffic_density"])
+        )
+        self.scene = Scene.from_pack(pack)
+        self.num_envs = cfg["num_envs"]
+        self._state = None
+        self._step_jit = jax.jit(functools.partial(self._step_impl), donate_argnums=0)
+        self._reset_jit = jax.jit(functools.partial(self._reset_impl))
+
+    # ------------------------------------------------------------------ API
+    @property
+    def observation_dim(self):
+        return state_obs.obs_dim(self.config["vehicle_config"]["lidar"]["num_lasers"])
+
+    @property
+    def observation_space(self):
+        import gymnasium as gym
+        return gym.spaces.Box(-0.0, 1.0, shape=(self.observation_dim,), dtype=np.float32)
+
+    @property
+    def action_space(self):
+        import gymnasium as gym
+        return gym.spaces.Box(-1.0, 1.0, shape=(2,), dtype=np.float32)
+
+    def reset(self, seed=0):
+        rng = jax.random.PRNGKey(0 if seed is None else seed)
+        self._state, obs, info = self._reset_jit(rng)
+        return obs, info
+
+    def step(self, actions):
+        actions = jnp.asarray(actions, dtype=jnp.float32).reshape(self.num_envs, 2)
+        self._state, obs, reward, terminated, truncated, info = self._step_jit(self._state, actions)
+        return obs, reward, terminated, truncated, info
+
+    def close(self):
+        self._state = None
+
+    # -------------------------------------------------------------- spawning
+    def _spawn(self, rng, sidx):
+        """Fresh per-env episode state for scenario indices sidx [E]."""
+        scene = self.scene
+        E = sidx.shape[0]
+        route0 = scene.route_roads[sidx, 0]
+        spawn_lane = scene.road_lane0[sidx, route0]  # lane idx 0 of spawn road
+        g = lane_geom.gather_lane(scene, sidx, spawn_lane)
+        long0 = jnp.full((E,), 5.0)  # spawn_longitude=5.0 (base_env.py:146)
+        pos = lane_geom.position(g, long0, jnp.zeros(E))
+        heading = lane_geom.heading_theta_at(g, long0)
+        zeros = jnp.zeros(E)
+        ego = EgoState(
+            pos=pos, heading=heading, speed=zeros, vel_dir=zeros,
+            steering=zeros, throttle=zeros,
+            last_action=jnp.zeros((E, 2)), current_action=jnp.zeros((E, 2)),
+            last_pos=pos, last_heading=heading,
+            lane=spawn_lane, route_idx=jnp.zeros(E, jnp.int32),
+            on_lane=jnp.ones(E, bool),
+            crash_vehicle=jnp.zeros(E, bool), crash_object=jnp.zeros(E, bool),
+            crash_sidewalk=jnp.zeros(E, bool),
+            on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
+            out_of_route=jnp.zeros(E, bool),
+            params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
+        )
+        npc_lane = scene.npc_lane[sidx]              # [E,N]
+        gn = lane_geom.gather_lane(scene, sidx[:, None], npc_lane)
+        npc_long = scene.npc_long[sidx]
+        npc_pos = lane_geom.position(gn, npc_long, jnp.zeros_like(npc_long))
+        npc_heading = lane_geom.heading_theta_at(gn, npc_long)
+        nz = jnp.zeros_like(npc_long)
+        respawn_mode = self.config["traffic_mode"] == "respawn"
+        active = scene.npc_valid[sidx]
+        npc = NpcState(
+            pos=npc_pos, heading=npc_heading, speed=nz, vel_dir=nz,
+            lane=npc_lane, active=active,
+            released=active if respawn_mode else jnp.zeros_like(active),
+            heading_pid_i=nz, heading_pid_e=nz, lateral_pid_i=nz, lateral_pid_e=nz,
+            params=make_vehicle_params(scene.npc_class[sidx]),
+        )
+        return SimState(
+            rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
+            episode_reward=zeros, ego=ego, npc=npc,
+        )
+
+    def _reset_impl(self, rng):
+        E = self.num_envs
+        keys = jax.random.split(rng, E + 1)
+        env_rng = keys[1:]
+        # scenario assignment: uniform over [0, num_scenarios)
+        # (reference _reset_global_seed, base_env.py:886-891)
+        sidx = jax.random.randint(keys[0], (E,), 0, self.scene.num_scenarios)
+        state = self._spawn(env_rng, sidx)
+        long0 = jnp.full((E,), 5.0)
+        obs = self._observe(state, long0, jnp.zeros(E))
+        info = dict(env_seed=sidx + self.config["start_seed"])
+        return state, obs, info
+
+    def _observe(self, state, ego_long, ego_lat):
+        lidar_cfg = self.config["vehicle_config"]["lidar"]
+        return state_obs.observe(
+            self.scene, state.sidx, state.ego, state.npc, ego_long, ego_lat,
+            num_lasers=lidar_cfg["num_lasers"], lidar_distance=lidar_cfg["distance"],
+        )
+
+    # ------------------------------------------------------------------ step
+    def _step_impl(self, state, actions):
+        cfg = self.config
+        scene = self.scene
+        E = self.num_envs
+        # NaN -> 0, +/-inf -> +/-1, clip to [-1, 1]
+        # (reference _preprocess_action -> safe_clip_for_small_array,
+        # base_vehicle.py:204-209 + utils/math.py:16-26)
+        actions = jnp.clip(jnp.nan_to_num(actions, nan=0.0, posinf=1.0, neginf=-1.0), -1.0, 1.0)
+
+        ego = state.ego
+        # before_step (base_vehicle.py:211-232): save last kinematics, apply action
+        ego = ego.replace(
+            last_pos=ego.pos, last_heading=ego.heading,
+            last_action=ego.current_action, current_action=actions,
+            steering=actions[:, 0], throttle=actions[:, 1],
+        )
+
+        # ego dynamics (decision_repeat substeps)
+        dt = cfg["physics_world_step_size"]
+        rep = cfg["decision_repeat"]
+        pos, heading, speed, vel_dir = dynamics.step_vehicle(
+            ego.pos, ego.heading, ego.speed, ego.vel_dir,
+            ego.steering, ego.throttle, ego.params, dt=dt, substeps=rep,
+            enable_reverse=cfg["vehicle_config"]["enable_reverse"],
+        )
+        ego = ego.replace(pos=pos, heading=heading, speed=speed, vel_dir=vel_dir)
+
+        # NPC traffic: release by trigger road, IDM actuation, dynamics
+        npc = state.npc
+        cur_road = scene.route_roads[
+            state.sidx, jnp.clip(ego.route_idx, 0, scene.route_roads.shape[1] - 1)
+        ]
+        trig = scene.npc_trigger_road[state.sidx]  # [E,N]
+        released = npc.released | (trig == cur_road[:, None])
+        npc = npc.replace(released=released)
+        npc = idm.step_npcs(scene, state.sidx, npc, ego, dt=dt, substeps=rep)
+
+        # localization + navigation update (after_step,
+        # base_vehicle.py:234-253)
+        loc = localization.localize(scene, state.sidx, ego.pos, ego.lane, ego.route_idx)
+        ego = ego.replace(lane=loc["lane"], route_idx=loc["route_idx"], on_lane=loc["on_lane"])
+
+        # contact flags (_state_check, base_vehicle.py:700-792)
+        seg_flags = collision.vehicle_segment_flags(
+            ego.pos, ego.heading, ego.params.length, ego.params.width,
+            scene.seg_p0[state.sidx], scene.seg_p1[state.sidx],
+            scene.seg_type[state.sidx], scene.seg_halfwidth[state.sidx],
+            scene.seg_valid[state.sidx],
+            (SEG_YELLOW_LINE, SEG_WHITE_LINE, SEG_SIDEWALK),
+        )
+        crash_v = collision.ego_npc_crash(
+            ego.pos, ego.heading, ego.params.length, ego.params.width,
+            npc.pos, npc.heading, npc.params.length, npc.params.width, npc.active,
+        )
+        left, right = localization.boundary_distances(scene, state.sidx, ego.route_idx, ego.pos)
+        ego = ego.replace(
+            on_yellow_line=seg_flags[SEG_YELLOW_LINE],
+            on_white_line=seg_flags[SEG_WHITE_LINE],
+            crash_sidewalk=seg_flags[SEG_SIDEWALK],
+            crash_vehicle=crash_v,
+            out_of_route=(left < 0) | (right < 0),
+        )
+
+        step_count = state.step_count + 1
+        state = state.replace(ego=ego, npc=npc, step_count=step_count)
+
+        # reward / done / cost (subclass formulas)
+        arrive = localization.arrive_destination(scene, state.sidx, ego.pos)
+        out_of_road = self._is_out_of_road(ego)
+        reward, step_info = self.reward_function(state, loc, arrive, out_of_road)
+        cost, cost_info = self.cost_function(state, out_of_road)
+        terminated, truncated, done_info = self.done_function(state, arrive, out_of_road)
+
+        episode_reward = state.episode_reward + reward
+        state = state.replace(episode_reward=episode_reward)
+
+        done = terminated | truncated
+        info = dict(
+            arrive_dest=arrive, out_of_road=out_of_road,
+            crash_vehicle=ego.crash_vehicle, crash_object=ego.crash_object,
+            crash_sidewalk=ego.crash_sidewalk, crash=ego.crash_vehicle | ego.crash_object,
+            max_step=truncated, cost=cost, step_reward=step_info["step_reward"],
+            velocity=ego.speed, steering=ego.steering, acceleration=ego.throttle,
+            episode_reward=episode_reward, episode_length=step_count,
+            env_seed=state.sidx + cfg["start_seed"],
+        )
+        info.update(done_info)
+        info.update(cost_info)
+
+        # auto-reset done envs in place (vectorized-RL semantics replacing
+        # the reference's explicit env.reset())
+        if cfg["auto_reset"]:
+            new_keys = jax.vmap(jax.random.split)(state.rng)      # [E,2,2]
+            step_rng, reset_rng = new_keys[:, 0], new_keys[:, 1]
+            new_sidx = jax.vmap(
+                lambda k: jax.random.randint(k, (), 0, self.scene.num_scenarios)
+            )(step_rng)
+            fresh = self._spawn(reset_rng, new_sidx)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    done.reshape(done.shape + (1,) * (old.ndim - 1)), new, old
+                ),
+                fresh, state.replace(rng=step_rng),
+            )
+            ego_long = jnp.where(done, 5.0, loc["long"])
+            ego_lat = jnp.where(done, 0.0, loc["lat"])
+        else:
+            ego_long, ego_lat = loc["long"], loc["lat"]
+
+        obs = self._observe(state, ego_long, ego_lat)
+        return state, obs, reward, terminated, truncated, info
+
+    # ---- overridable scheme ------------------------------------------------
+    def _is_out_of_road(self, ego):
+        raise NotImplementedError
+
+    def reward_function(self, state, loc, arrive, out_of_road):
+        raise NotImplementedError
+
+    def cost_function(self, state, out_of_road):
+        raise NotImplementedError
+
+    def done_function(self, state, arrive, out_of_road):
+        raise NotImplementedError

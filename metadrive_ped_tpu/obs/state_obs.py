@@ -1,0 +1,74 @@
+"""Batched state + lidar observation assembly.
+
+Reproduces the reference's LidarStateObservation layout exactly
+(metadrive/obs/state_obs.py):
+
+  [0:2]    lateral distance to route left/right boundary, / ((MAX_LANE_NUM+1)
+           * MAX_LANE_WIDTH) = /18 (state_obs.py:90-98; base_map.py:38-40)
+  [2]      heading_diff vs rightmost current ref lane (state_obs.py:104-108)
+  [3]      (speed_km_h + 1) / (max_speed_km_h + 1)        (state_obs.py:111)
+  [4]      (steering/MAX_STEERING + 1) / 2, MAX_STEERING=60 (state_obs.py:114)
+  [5:7]    (last action + 1)/2 — the action applied THIS step
+           (state_obs.py:117-118 reads last_current_action[1])
+  [7]      yaw rate = arccos(clip(cos<heading_t, heading_{t-1}>,0,1))/0.1
+           (state_obs.py:121-127)
+  [8]      (lateral*2/MAX_LANE_WIDTH + 1)/2 on the current lane
+           (state_obs.py:142-149)
+  [9:19]   navigation 2x5 (node_network_navigation.py:243-292)
+  [19:19+num_lasers]  lidar hit fractions (state_obs.py:210-232)
+"""
+import jax.numpy as jnp
+
+from metadrive_ped_tpu.constants import OBS_MAX_STEERING
+from metadrive_ped_tpu.ops import localization, raycast
+from metadrive_ped_tpu.ops.math_ops import clip01, heading_vec
+
+TOTAL_SIDE_WIDTH = (3 + 1) * 4.5  # (MAX_LANE_NUM+1)*MAX_LANE_WIDTH = 18
+MAX_LANE_WIDTH = 4.5
+
+EGO_STATE_DIM = 9
+NAVI_DIM = 10
+
+
+def obs_dim(num_lasers):
+    return EGO_STATE_DIM + NAVI_DIM + num_lasers
+
+
+def observe(scene, sidx, ego, npc, ego_long, ego_lat, num_lasers=240, lidar_distance=50.0):
+    """Full observation [E, 19 + num_lasers]. ego_long/ego_lat are the
+    current-lane local coordinates already computed by localization."""
+    left, right = localization.boundary_distances(scene, sidx, ego.route_idx, ego.pos)
+    f_left = clip01(left / TOTAL_SIDE_WIDTH)
+    f_right = clip01(right / TOTAL_SIDE_WIDTH)
+
+    hdiff = localization.heading_diff_ref(scene, sidx, ego.route_idx, ego.pos, ego.heading)
+
+    speed_kmh = ego.speed * 3.6
+    f_speed = clip01((speed_kmh + 1) / (ego.params.max_speed_kmh + 1))
+    f_steer = clip01((ego.steering / OBS_MAX_STEERING + 1) / 2)
+    f_act0 = clip01((ego.current_action[:, 0] + 1) / 2)
+    f_act1 = clip01((ego.current_action[:, 1] + 1) / 2)
+
+    hv_now = heading_vec(ego.heading)
+    hv_last = heading_vec(ego.last_heading)
+    cos_beta = (hv_now * hv_last).sum(-1)
+    yaw_rate = jnp.arccos(jnp.clip(cos_beta, 0.0, 1.0)) / 0.1
+    f_yaw = clip01(yaw_rate)
+
+    f_lat = clip01((ego_lat * 2 / MAX_LANE_WIDTH + 1) / 2)
+
+    ego_state = jnp.stack(
+        [f_left, f_right, hdiff, f_speed, f_steer, f_act0, f_act1, f_yaw, f_lat], axis=-1
+    )
+
+    navi = localization.navi_info(scene, sidx, ego.route_idx, ego.pos, ego.heading)
+
+    # NOTE: un-released trigger-mode NPCs are still physically present
+    # (traffic_manager.py spawns all at reset; release only starts their
+    # policy), so lidar sees every active NPC.
+    cloud = raycast.lidar_cloud(
+        ego.pos, ego.heading, num_lasers, lidar_distance,
+        npc.pos, npc.heading, npc.params.length, npc.params.width,
+        npc.active,
+    )
+    return jnp.concatenate([ego_state, navi, cloud], axis=-1)

@@ -1,0 +1,55 @@
+"""Batched lidar raycasting.
+
+Replaces the per-ray Bullet rayTestClosest loop
+(component/sensors/distance_detector.py:27-85 + lidar.py:49-73; the Cython
+twin lives in metadrive/cutils.pyx) with one vectorized ray-vs-OBB slab test
+over [E, num_rays, num_targets]. Output matches the reference cloud: hit
+fraction in [0,1] per ray, 1.0 when nothing is hit within `distance`.
+
+Ray i leaves at angle heading + 2*pi*i/N (distance_detector perceive fans
+the full circle starting at the vehicle head).
+"""
+import jax.numpy as jnp
+
+
+def ray_obb_fraction(origin, angles, max_dist, obb_c, obb_h, obb_len, obb_wid, obb_active):
+    """Min hit fraction of each ray against a set of OBBs.
+
+    origin [E,2]; angles [E,R]; obb_* [E,N]; returns [E,R] in [0,1].
+    """
+    dirx = jnp.cos(angles)[:, :, None]           # [E,R,1]
+    diry = jnp.sin(angles)[:, :, None]
+    # transform ray into each OBB frame
+    c, s = jnp.cos(obb_h)[:, None, :], jnp.sin(obb_h)[:, None, :]  # [E,1,N]
+    relx = origin[:, 0][:, None, None] - obb_c[..., 0][:, None, :]
+    rely = origin[:, 1][:, None, None] - obb_c[..., 1][:, None, :]
+    ox = relx * c + rely * s                     # [E,R,N]
+    oy = -relx * s + rely * c
+    dx = dirx * c + diry * s
+    dy = -dirx * s + diry * c
+
+    hx = (obb_len / 2)[:, None, :]
+    hy = (obb_wid / 2)[:, None, :]
+
+    # slab method, branchless
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-9, 1e-9, dx)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-9, 1e-9, dy)
+    tx1, tx2 = (-hx - ox) * inv_dx, (hx - ox) * inv_dx
+    ty1, ty2 = (-hy - oy) * inv_dy, (hy - oy) * inv_dy
+    tmin = jnp.maximum(jnp.minimum(tx1, tx2), jnp.minimum(ty1, ty2))
+    tmax = jnp.minimum(jnp.maximum(tx1, tx2), jnp.maximum(ty1, ty2))
+    hit = (tmax >= tmin) & (tmax >= 0) & obb_active[:, None, :]
+    t = jnp.where(tmin >= 0, tmin, tmax)  # origin inside -> exit point
+    frac = jnp.where(hit, jnp.clip(t / max_dist, 0.0, 1.0), 1.0)
+    return frac.min(axis=2)
+
+
+def lidar_cloud(ego_pos, ego_heading, num_rays, max_dist,
+                npc_pos, npc_heading, npc_len, npc_wid, npc_active):
+    """The 240-point lidar cloud (lidar.py:16-73): fraction of `max_dist`
+    to the nearest vehicle along each of `num_rays` fanned rays."""
+    i = jnp.arange(num_rays, dtype=jnp.float32)
+    angles = ego_heading[:, None] + (2.0 * jnp.pi / num_rays) * i[None, :]
+    return ray_obb_fraction(
+        ego_pos, angles, max_dist, npc_pos, npc_heading, npc_len, npc_wid, npc_active
+    )

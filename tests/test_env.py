@@ -1,0 +1,126 @@
+"""Env blackbox tests (mirrors the reference's
+tests/test_env/test_metadrive_env.py style: construct, step, assert
+obs/reward/termination invariants)."""
+import numpy as np
+import pytest
+
+from metadrive_ped_tpu import MetaDriveEnv
+
+
+def make_env(**overrides):
+    cfg = dict(num_envs=4, map="S", num_scenarios=1, traffic_density=0.0)
+    cfg.update(overrides)
+    return MetaDriveEnv(cfg)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return make_env()
+
+
+def test_reset_obs_shape_and_range(env):
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (4, 259)
+    o = np.asarray(obs)
+    assert np.isfinite(o).all()
+    assert (o >= 0.0).all() and (o <= 1.0).all()
+
+
+def test_step_moves_forward(env):
+    env.reset(seed=0)
+    for _ in range(20):
+        obs, r, term, trunc, info = env.step(np.tile([0.0, 1.0], (4, 1)))
+    st = env._state
+    assert float(st.ego.speed[0]) > 3.0
+    assert float(np.asarray(r)[0]) > 0.0
+    assert not bool(np.asarray(term).any())
+
+
+def test_hard_steer_leaves_road(env):
+    env.reset(seed=0)
+    done_seen = False
+    for _ in range(100):
+        obs, r, term, trunc, info = env.step(np.tile([1.0, 1.0], (4, 1)))
+        if bool(np.asarray(term).any()):
+            done_seen = True
+            assert bool(np.asarray(info["out_of_road"]).any()) or bool(
+                np.asarray(info["crash"]).any()
+            )
+            break
+    assert done_seen, "full-lock steering should terminate the episode"
+    # negative terminal reward on the done env
+    done_mask = np.asarray(term)
+    assert (np.asarray(r)[done_mask] < 0).all()
+
+
+def test_straight_full_throttle_reaches_destination():
+    env = make_env(map="S", num_envs=2)
+    env.reset(seed=3)
+    arrived = False
+    for i in range(300):
+        obs, r, term, trunc, info = env.step(np.tile([0.0, 1.0], (2, 1)))
+        if bool(np.asarray(info["arrive_dest"]).any()):
+            arrived = True
+            assert (np.asarray(r)[np.asarray(info["arrive_dest"])] == 10.0).all()
+            break
+    assert arrived, "ego should reach the end of a straight map at full throttle"
+
+
+def test_auto_reset_restarts_episode(env):
+    env.reset(seed=0)
+    for _ in range(120):
+        obs, r, term, trunc, info = env.step(np.tile([1.0, 1.0], (4, 1)))
+        if bool(np.asarray(term).any()):
+            break
+    # after the done step, state must be back at spawn for done envs
+    st = env._state
+    done = np.asarray(term)
+    assert done.any()
+    assert np.allclose(np.asarray(st.ego.speed)[done], 0.0)
+    assert (np.asarray(st.step_count)[done] == 0).all()
+
+
+def test_horizon_truncation():
+    env = make_env(horizon=10)
+    env.reset(seed=0)
+    for i in range(10):
+        obs, r, term, trunc, info = env.step(np.tile([0.0, 0.0], (4, 1)))
+    assert bool(np.asarray(trunc).all())
+
+
+def test_traffic_spawns_and_lidar_sees():
+    env = make_env(map="SS", traffic_density=0.5, num_envs=2)
+    obs, info = env.reset(seed=0)
+    st = env._state
+    assert bool(np.asarray(st.npc.active).any()), "traffic should spawn at density 0.5"
+    # drive forward; lidar channel (last 240 dims) should dip below 1
+    seen = False
+    for _ in range(60):
+        obs, r, term, trunc, info = env.step(np.tile([0.0, 1.0], (2, 1)))
+        cloud = np.asarray(obs)[:, 19:]
+        if (cloud < 0.99).any():
+            seen = True
+            break
+    assert seen, "lidar should detect NPC vehicles"
+
+
+def test_multiple_scenarios():
+    env = MetaDriveEnv(dict(num_envs=8, map=3, num_scenarios=4, traffic_density=0.0))
+    obs, info = env.reset(seed=1)
+    seeds = np.asarray(info["env_seed"])
+    assert obs.shape == (8, 259)
+    assert len(np.unique(seeds)) > 1, "envs should spread over scenarios"
+
+
+def test_determinism_same_seed():
+    env1 = make_env()
+    env2 = make_env()
+    o1, _ = env1.reset(seed=5)
+    o2, _ = env2.reset(seed=5)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    a = np.tile([0.1, 0.8], (4, 1))
+    for _ in range(10):
+        o1, r1, *_ = env1.step(a)
+        o2, r2, *_ = env2.step(a)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
