@@ -48,10 +48,31 @@ class Scene:
     npc_class: jnp.ndarray
     npc_trigger_road: jnp.ndarray
     npc_valid: jnp.ndarray
+    # packed float32 lookup tables for one-hot gathers (ops/gather.py)
+    lane_table: jnp.ndarray   # [S, L, LANE_F] — see LANE_* indices below
+    road_table: jnp.ndarray   # [S, R, ROAD_F]
 
     @classmethod
     def from_pack(cls, pack: dict) -> "Scene":
-        return cls(**{k: jnp.asarray(np.asarray(v)) for k, v in pack.items()})
+        arrays = {k: jnp.asarray(np.asarray(v)) for k, v in pack.items()}
+        lane_cols = [
+            pack["lane_kind"], pack["lane_p0"][..., 0], pack["lane_p0"][..., 1],
+            pack["lane_dir"][..., 0], pack["lane_dir"][..., 1], pack["lane_radius"],
+            pack["lane_start_phase"], pack["lane_arc_dir"], pack["lane_width"],
+            pack["lane_length"], pack["lane_angle"], pack["lane_road"],
+            pack["lane_idx_in_road"], pack["lane_succ"], pack["lane_left"],
+            pack["lane_right"], pack["lane_valid"],
+        ]
+        arrays["lane_table"] = jnp.asarray(
+            np.stack([np.asarray(c, np.float32) for c in lane_cols], axis=-1)
+        )
+        road_cols = [
+            pack["road_lane0"], pack["road_nlanes"], pack["road_negative"], pack["road_succ"],
+        ]
+        arrays["road_table"] = jnp.asarray(
+            np.stack([np.asarray(c, np.float32) for c in road_cols], axis=-1)
+        )
+        return cls(**arrays)
 
     @property
     def num_scenarios(self):
@@ -64,6 +85,15 @@ class Scene:
     @property
     def max_npcs(self):
         return self.npc_lane.shape[1]
+
+
+# lane_table column indices
+LANE_KIND, LANE_P0X, LANE_P0Y, LANE_DIRX, LANE_DIRY, LANE_RADIUS, \
+    LANE_START_PHASE, LANE_ARC_DIR, LANE_WIDTH, LANE_LENGTH, LANE_ANGLE, \
+    LANE_ROAD, LANE_IDX_IN_ROAD, LANE_SUCC, LANE_LEFT, LANE_RIGHT, LANE_VALID = range(17)
+
+# road_table column indices
+ROAD_LANE0, ROAD_NLANES, ROAD_NEGATIVE, ROAD_SUCC = range(4)
 
 
 @struct.dataclass

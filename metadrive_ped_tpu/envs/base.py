@@ -50,13 +50,17 @@ _TBL = {
 DEFAULT_CLASS_IDX = VEHICLE_CLASS_ORDER.index("default")
 
 
+_TBL_MAT = np.stack(
+    [_TBL[k] for k in ("length", "width", "accel", "brake", "steer", "vmax", "wheelbase")], axis=-1
+)  # [5, 7]
+
+
 def make_vehicle_params(class_idx):
-    t = {k: jnp.asarray(v) for k, v in _TBL.items()}
+    from metadrive_ped_tpu.ops.gather import vector_lookup
+    v = vector_lookup(jnp.asarray(_TBL_MAT), jnp.asarray(class_idx))
     return VehicleParams(
-        length=t["length"][class_idx], width=t["width"][class_idx],
-        accel_gain=t["accel"][class_idx], brake_gain=t["brake"][class_idx],
-        max_steer_rad=t["steer"][class_idx], max_speed_kmh=t["vmax"][class_idx],
-        wheelbase_eff=t["wheelbase"][class_idx],
+        length=v[..., 0], width=v[..., 1], accel_gain=v[..., 2], brake_gain=v[..., 3],
+        max_steer_rad=v[..., 4], max_speed_kmh=v[..., 5], wheelbase_eff=v[..., 6],
     )
 
 
@@ -159,8 +163,8 @@ class BaseVectorEnv:
         """Fresh per-env episode state for scenario indices sidx [E]."""
         scene = self.scene
         E = sidx.shape[0]
-        route0 = scene.route_roads[sidx, 0]
-        spawn_lane = scene.road_lane0[sidx, route0]  # lane idx 0 of spawn road
+        route0 = scene.route_roads[sidx][:, 0]
+        spawn_lane = lane_geom.gather_road(scene, sidx, route0)["lane0"]  # lane idx 0
         g = lane_geom.gather_lane(scene, sidx, spawn_lane)
         long0 = jnp.full((E,), 5.0)  # spawn_longitude=5.0 (base_env.py:146)
         pos = lane_geom.position(g, long0, jnp.zeros(E))
@@ -249,9 +253,7 @@ class BaseVectorEnv:
 
         # NPC traffic: release by trigger road, IDM actuation, dynamics
         npc = state.npc
-        cur_road = scene.route_roads[
-            state.sidx, jnp.clip(ego.route_idx, 0, scene.route_roads.shape[1] - 1)
-        ]
+        cur_road = localization.route_road_at(scene, state.sidx, ego.route_idx)
         trig = scene.npc_trigger_road[state.sidx]  # [E,N]
         released = npc.released | (trig == cur_road[:, None])
         npc = npc.replace(released=released)

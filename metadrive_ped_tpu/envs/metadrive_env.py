@@ -28,16 +28,15 @@ class MetaDriveEnv(BaseVectorEnv):
 
         # driving progress is measured on the current lane when it belongs to
         # the current ref road, else on ref lane 0 (metadrive_env.py:249-257)
-        kmax = scene.route_roads.shape[1] - 1
-        cur_road = scene.route_roads[sidx, jnp.clip(ego.route_idx, 0, kmax)]
-        on_ref = scene.lane_road[sidx, ego.lane] == cur_road
-        ref_lane0 = scene.road_lane0[sidx, cur_road]
-        lane_for_reward = jnp.where(on_ref, ego.lane, ref_lane0)
+        cur_road = loc["cur_road"]
+        road_info = lane_geom.gather_road(scene, sidx, cur_road)
+        on_ref = loc["road"] == cur_road
+        lane_for_reward = jnp.where(on_ref, ego.lane, road_info["lane0"])
         g = lane_geom.gather_lane(scene, sidx, lane_for_reward)
         long_now, lateral_now = lane_geom.local_coordinates(g, ego.pos)
         long_last, _ = lane_geom.local_coordinates(g, ego.last_pos)
         # route roads are positive-direction in PG maps -> positive_road=1
-        positive_road = jnp.where(scene.road_negative[sidx, cur_road], -1.0, 1.0)
+        positive_road = jnp.where(road_info["negative"], -1.0, 1.0)
 
         if cfg["use_lateral_reward"]:
             lane_width = g["width"]

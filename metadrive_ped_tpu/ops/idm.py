@@ -111,10 +111,10 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5):
     vel_dir = keep(vel_dir, npc.vel_dir)
 
     # --- route advance / arrival (traffic_manager.py:94-122) --------------
-    g2 = lane_geom.gather_lane(scene, sidx[:, None], npc.lane)
-    long2, _ = lane_geom.local_coordinates(g2, pos)
-    passed = long2 > g2["length"]
-    succ = scene.lane_succ[sidx[:, None], npc.lane]
+    # (lane params unchanged within the step: reuse g for the moved position)
+    long2, _ = lane_geom.local_coordinates(g, pos)
+    passed = long2 > g["length"]
+    succ = g["succ"]
     new_lane = jnp.where(passed & (succ >= 0), succ, npc.lane)
     deactivate = passed & (succ < 0) & moving
     active = npc.active & ~deactivate

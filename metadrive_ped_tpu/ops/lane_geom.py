@@ -22,14 +22,71 @@ from metadrive_ped_tpu.ops.math_ops import wrap_to_pi
 def gather_lane(scene, sidx, lid):
     """Gather per-lane geometry params for (env scenario, lane id) pairs.
 
-    sidx and lid broadcast; returns a dict of arrays with that shape.
+    sidx: [E] (or [E,1] to broadcast against lid [E,N]); lid: [E] or [E,N].
+    Returns a dict of arrays shaped like lid. Implemented as a one-hot
+    contraction over the packed lane table (ops/gather.py) — the pointwise
+    2D gather this replaces hit TPU's scalar-gather slow path.
     """
-    take = lambda a: a[sidx, lid]
+    from metadrive_ped_tpu.core import structs as st
+    from metadrive_ped_tpu.ops.gather import table_lookup
+
+    sidx = jnp.asarray(sidx)
+    lid = jnp.asarray(lid)
+    if sidx.ndim > 1:
+        sidx = sidx.reshape(sidx.shape[0])
+    vals = table_lookup(scene.lane_table, sidx, lid)  # [..., LANE_F]
+    toi = lambda x: jnp.round(x).astype(jnp.int32)
+    return dict(
+        kind=toi(vals[..., st.LANE_KIND]),
+        p0=vals[..., st.LANE_P0X:st.LANE_P0Y + 1],
+        dirv=vals[..., st.LANE_DIRX:st.LANE_DIRY + 1],
+        radius=jnp.maximum(vals[..., st.LANE_RADIUS], 1e-6),  # guard /0 on padded rows
+        start_phase=vals[..., st.LANE_START_PHASE],
+        arc_dir=vals[..., st.LANE_ARC_DIR],
+        width=vals[..., st.LANE_WIDTH],
+        length=vals[..., st.LANE_LENGTH],
+        angle=vals[..., st.LANE_ANGLE],
+        road=toi(vals[..., st.LANE_ROAD]),
+        idx_in_road=toi(vals[..., st.LANE_IDX_IN_ROAD]),
+        succ=toi(vals[..., st.LANE_SUCC]),
+        left=toi(vals[..., st.LANE_LEFT]),
+        right=toi(vals[..., st.LANE_RIGHT]),
+        valid=vals[..., st.LANE_VALID] > 0.5,
+    )
+
+
+def gather_road(scene, sidx, rid):
+    """Per-road fields via one-hot lookup: dict(lane0, nlanes, negative, succ)."""
+    from metadrive_ped_tpu.core import structs as st
+    from metadrive_ped_tpu.ops.gather import table_lookup
+
+    sidx = jnp.asarray(sidx)
+    if sidx.ndim > 1:
+        sidx = sidx.reshape(sidx.shape[0])
+    vals = table_lookup(scene.road_table, sidx, jnp.asarray(rid))
+    toi = lambda x: jnp.round(x).astype(jnp.int32)
+    return dict(
+        lane0=toi(vals[..., st.ROAD_LANE0]),
+        nlanes=toi(vals[..., st.ROAD_NLANES]),
+        negative=vals[..., st.ROAD_NEGATIVE] > 0.5,
+        succ=toi(vals[..., st.ROAD_SUCC]),
+    )
+
+
+def gather_all_lanes(scene, sidx):
+    """Per-env rows of EVERY lane's params: each field [E, L(, 2)].
+
+    Row-gather on the scenario axis only — on TPU this lowers to an
+    efficient take along axis 0, unlike the pointwise 2D gather of
+    gather_lane with a full arange of lane ids (which hit XLA's slow
+    scalar-gather path and dominated the step time).
+    """
+    take = lambda a: a[sidx]
     return dict(
         kind=take(scene.lane_kind),
-        p0=scene.lane_p0[sidx, lid],
-        dirv=scene.lane_dir[sidx, lid],
-        radius=take(scene.lane_radius),
+        p0=take(scene.lane_p0),
+        dirv=take(scene.lane_dir),
+        radius=jnp.maximum(take(scene.lane_radius), 1e-6),
         start_phase=take(scene.lane_start_phase),
         arc_dir=take(scene.lane_arc_dir),
         width=take(scene.lane_width),

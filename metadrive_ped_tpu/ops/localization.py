@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from metadrive_ped_tpu.constants import LANE_CIRCULAR
 from metadrive_ped_tpu.mapgen.spaces import CURVE_ANGLE_MAX, CURVE_RADIUS_MAX
 from metadrive_ped_tpu.ops import lane_geom
+from metadrive_ped_tpu.ops.gather import onehot_pick
 from metadrive_ped_tpu.ops.math_ops import clip01, heading_vec, rhs_vec
 
 CKPT_UPDATE_RANGE = 5.0   # base_navigation.py:23
@@ -32,20 +33,21 @@ def localize(scene, sidx, pos, prev_lane, route_idx):
     """
     E = sidx.shape[0]
     L = scene.lane_kind.shape[1]
-    lid = jnp.arange(L)[None, :]
-    s = sidx[:, None]
-    g = lane_geom.gather_lane(scene, s, lid)
+    g = lane_geom.gather_all_lanes(scene, sidx)
     long, lat = lane_geom.local_coordinates(g, pos[:, None, :])
-    valid = scene.lane_valid[s, lid]
+    valid = scene.lane_valid[sidx]
     on = lane_geom.on_lane(g, long, lat) & valid
 
     on_lane_any = on.any(axis=1)
 
-    lane_road = scene.lane_road[s, lid]  # [E,L]
-    cur_road = scene.route_roads[sidx, jnp.clip(route_idx, 0, scene.route_roads.shape[1] - 1)]
+    lane_road = scene.lane_road[sidx]  # [E,L] (row gather: fast path)
+    route_roads_e = scene.route_roads[sidx]  # [E,K]
+    cur_road = onehot_pick(
+        route_roads_e, jnp.clip(route_idx, 0, scene.route_roads.shape[1] - 1)
+    )
     route_next = jnp.clip(route_idx + 1, 0, scene.route_roads.shape[1] - 1)
     next_road = jnp.where(
-        route_idx + 1 < scene.route_len[sidx], scene.route_roads[sidx, route_next], -1
+        route_idx + 1 < scene.route_len[sidx], onehot_pick(route_roads_e, route_next), -1
     )
 
     dist = lane_geom.l1_distance(g, long, lat)
@@ -59,40 +61,45 @@ def localize(scene, sidx, pos, prev_lane, route_idx):
     )
     score = jnp.where(on, dist + tier, big)
     best = jnp.argmin(score, axis=1)
-    found = jnp.take_along_axis(on, best[:, None], axis=1)[:, 0]
+    found = score.min(axis=1) < big  # best lane is on-lane
     lane = jnp.where(found, best, prev_lane)
 
-    lane_long = jnp.take_along_axis(long, lane[:, None], axis=1)[:, 0]
-    lane_lat = jnp.take_along_axis(lat, lane[:, None], axis=1)[:, 0]
+    lane_long = onehot_pick(long, lane)
+    lane_lat = onehot_pick(lat, lane)
 
     # checkpoint advance (node_network_navigation.py:181-201): when the
     # vehicle enters a later route road near its start, move the target
     # checkpoint forward.
     K = scene.route_roads.shape[1]
     kk = jnp.arange(K)[None, :]
-    route_roads_e = scene.route_roads[sidx]  # [E,K]
-    this_road = scene.lane_road[sidx, lane]
+    this_road = onehot_pick(lane_road, lane)
     match = (route_roads_e == this_road[:, None]) & (kk < scene.route_len[sidx][:, None])
     k_pos = jnp.where(match, kk, K + 1).min(axis=1)  # first route position of this road
     advance = (k_pos > route_idx) & (k_pos <= K) & (lane_long < CKPT_UPDATE_RANGE) & found
     new_route_idx = jnp.where(advance, k_pos, route_idx)
 
     return dict(lane=lane, route_idx=new_route_idx, on_lane=on_lane_any,
-                long=lane_long, lat=lane_lat)
+                long=lane_long, lat=lane_lat, road=this_road, cur_road=cur_road)
+
+
+def route_road_at(scene, sidx, k):
+    """Route road id at checkpoint position k (clipped), per env."""
+    kmax = scene.route_roads.shape[1] - 1
+    return onehot_pick(scene.route_roads[sidx], jnp.clip(k, 0, kmax))
 
 
 def _ref_lane_ids(scene, sidx, route_idx):
     """(current ref road's lane0/lane_last/nlanes, next ref lane0) per env."""
+    route_roads_e = scene.route_roads[sidx]
     kmax = scene.route_roads.shape[1] - 1
-    cur_road = scene.route_roads[sidx, jnp.clip(route_idx, 0, kmax)]
+    cur_road = onehot_pick(route_roads_e, jnp.clip(route_idx, 0, kmax))
     has_next = route_idx + 1 < scene.route_len[sidx]
     next_road = jnp.where(
-        has_next, scene.route_roads[sidx, jnp.clip(route_idx + 1, 0, kmax)], cur_road
+        has_next, onehot_pick(route_roads_e, jnp.clip(route_idx + 1, 0, kmax)), cur_road
     )
-    lane0 = scene.road_lane0[sidx, cur_road]
-    nlanes = scene.road_nlanes[sidx, cur_road]
-    next_lane0 = scene.road_lane0[sidx, next_road]
-    return lane0, nlanes, next_lane0, has_next
+    cur = lane_geom.gather_road(scene, sidx, cur_road)
+    nxt = lane_geom.gather_road(scene, sidx, next_road)
+    return cur["lane0"], cur["nlanes"], nxt["lane0"], has_next
 
 
 def _checkpoint_info(scene, sidx, ref_lane, lane_num, lane_width, pos, heading):
@@ -178,9 +185,9 @@ def arrive_destination(scene, sidx, pos):
     """_is_arrive_destination (metadrive_env.py:213-227): within a 5 m
     longitudinal window of the final lane's end, laterally inside the road."""
     last_k = jnp.maximum(scene.route_len[sidx] - 1, 0)
-    final_road = scene.route_roads[sidx, last_k]
-    lane0 = scene.road_lane0[sidx, final_road]
-    nlanes = scene.road_nlanes[sidx, final_road]
+    final_road = onehot_pick(scene.route_roads[sidx], last_k)
+    r = lane_geom.gather_road(scene, sidx, final_road)
+    lane0, nlanes = r["lane0"], r["nlanes"]
     final_lane = lane0 + nlanes - 1  # navigation.final_lane = final_lanes[-1]
     g = lane_geom.gather_lane(scene, sidx, final_lane)
     long, lat = lane_geom.local_coordinates(g, pos)
