@@ -44,43 +44,57 @@ class PGBlockSocket:
         )
 
 
+def _offset_lane(cur, direction):
+    """Copy of a lane shifted one width laterally; direction=-1 left, +1 right
+    (CreateRoadFrom inner loop, create_pg_block_utils.py:104-126)."""
+    width = cur.width
+    if isinstance(cur, HostStraightLane):
+        return HostStraightLane(
+            cur.position(0, direction * width), cur.position(cur.length, direction * width),
+            cur.width, list(cur.line_types)
+        )
+    from metadrive_ped_tpu.mapgen.lanes import HostCircularLane
+    if direction < 0:  # leftward: clockwise arcs grow, ccw shrink
+        radius2 = cur.radius + width if cur.is_clockwise() else cur.radius - width
+    else:  # rightward
+        radius2 = cur.radius - width if cur.is_clockwise() else cur.radius + width
+    return HostCircularLane(
+        cur.center, radius2, cur.start_phase, cur.angle, cur.is_clockwise(), cur.width,
+        list(cur.line_types)
+    )
+
+
 def create_road_from(lane, lane_num, road, block_network, side_line_type=LINE_SIDE,
-                     center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_BROKEN):
+                     center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_BROKEN,
+                     toward_smaller_lane_index=True):
     """Clone ``lane`` laterally into lane_num lanes on ``road``.
 
-    Geometry matches CreateRoadFrom (create_pg_block_utils.py:50-176,
-    toward_smaller_lane_index=True): the given lane becomes the LAST index
-    (rightmost); clones stack at successive -width lateral offsets (leftward);
-    lane 0 carries the center line on its left, the given lane the side line
-    on its right. Collision checking (check_lane_on_road) is skipped here —
-    overlap rejection happens in the BIG FSM via polyline tests.
+    Geometry matches CreateRoadFrom (create_pg_block_utils.py:50-176).
+    toward_smaller_lane_index=True: the given lane becomes the LAST index
+    (rightmost); clones stack leftward; lane 0 carries the center line on its
+    left, the given lane the side line on its right. False: the given lane is
+    index 0 and clones stack rightward. Collision checking
+    (check_lane_on_road) is skipped here -- overlap rejection happens in the
+    BIG FSM via polyline tests.
     """
     lanes = [lane]
     cur = lane
-    width = lane.width_at(0)
     for i in range(lane_num - 1, 0, -1):
-        if isinstance(cur, HostStraightLane):
-            side = HostStraightLane(
-                cur.position(0, -width), cur.position(cur.length, -width), cur.width, list(cur.line_types)
-            )
-        else:
-            # toward_smaller_lane_index: leftward stacking => clockwise arcs
-            # grow, counter-clockwise arcs shrink
-            # (reference: create_pg_block_utils.py:113-119)
-            radius2 = cur.radius + width if cur.is_clockwise() else cur.radius - width
-            from metadrive_ped_tpu.mapgen.lanes import HostCircularLane
-            side = HostCircularLane(
-                cur.center, radius2, cur.start_phase, cur.angle, cur.is_clockwise(), cur.width,
-                list(cur.line_types)
-            )
+        side = _offset_lane(cur, -1 if toward_smaller_lane_index else +1)
         if i == 1:
-            side.line_types = [center_line_type, inner_line_type]
+            side.line_types = (
+                [center_line_type, inner_line_type] if toward_smaller_lane_index
+                else [inner_line_type, side_line_type]
+            )
         else:
             side.line_types = [inner_line_type, inner_line_type]
         lanes.append(side)
         cur = side
-    lanes.reverse()  # index 0 = leftmost (center-line side)
-    lane.line_types = [inner_line_type if lane_num > 1 else center_line_type, side_line_type]
+    if toward_smaller_lane_index:
+        lanes.reverse()  # index 0 = leftmost (center-line side)
+        lane.line_types = [inner_line_type if lane_num > 1 else center_line_type, side_line_type]
+    elif lane_num > 1:
+        lane.line_types = [lane.line_types[0], lanes[-1].line_types[0]]
     for l in lanes:
         block_network.add_lane(road.start_node, road.end_node, l)
     return True
@@ -208,8 +222,23 @@ class PGBlock:
     def get_respawn_roads(self):
         return self._respawn_roads
 
-    def get_respawn_lanes(self, network):
+    def add_respawn_roads(self, roads):
+        if isinstance(roads, Road):
+            roads = [roads]
+        self._respawn_roads.extend(roads)
+
+    def get_respawn_lanes(self, network=None):
+        network = network or self.block_network
         return [road.get_lanes(network) for road in self._respawn_roads]
+
+    def road_node(self, part_idx, road_idx):
+        """Node name for (part, road) — matches add_road_node's scheme
+        (reference: pg_block.py:226-234)."""
+        return f"{self.block_index}{self.ID}{part_idx}_{road_idx}_"
+
+    @property
+    def lane_width(self):
+        return self.positive_basic_lane.width_at(0)
 
     def get_intermediate_spawn_lanes(self):
         """Positive lanes of this block usable as traffic spawn points
@@ -350,16 +379,438 @@ class Curve(PGBlock):
         return True
 
 
+class InterSection(PGBlock):
+    """4-way intersection (reference: pgblock/intersection.py:17-260).
+
+    Lane-count change across the intersection (change_lane_num) is forced to
+    0 — matching StdInterSection, the only variant in the v2 distribution."""
+
+    ID = "X"
+    SOCKET_NUM = 3
+    PARAMETER_SPACE = spaces.INTERSECTION_SPACE
+    ANGLE = 90.0
+    EXIT_PART_LENGTH = 35.0
+
+    def _try_plug_into_previous_block(self):
+        from collections import deque
+        self.config[Parameter.change_lane_num] = 0  # Std variant semantics
+        radius = self.config[Parameter.radius]
+        attach_road = self.pre_block_socket.positive_road
+        _attach_road = self.pre_block_socket.negative_road
+        attach_lanes = attach_road.get_lanes(self.global_network)
+        if not isinstance(attach_lanes[0], HostStraightLane):
+            return False  # can't create an intersection following an arc
+        intersect_nodes = deque(
+            [self.road_node(0, 0), self.road_node(1, 0), self.road_node(2, 0), _attach_road.start_node]
+        )
+        lane_num = self.positive_lane_num
+        for i in range(4):
+            right_lane = self._create_part(attach_lanes, attach_road, radius, intersect_nodes, i)
+            if right_lane is None:
+                return False
+            if i != 3:
+                exit_road = Road(self.road_node(i, 0), self.road_node(i, 1))
+                create_road_from(right_lane, lane_num, exit_road, self.block_network)
+                create_adverse_road(exit_road, self.block_network)
+                socket = PGBlockSocket(exit_road, -exit_road)
+                self.add_respawn_roads(socket.negative_road)
+                self.add_sockets(socket)
+                attach_road = -exit_road
+                attach_lanes = attach_road.get_lanes(self.block_network)
+        return True
+
+    def _create_part(self, attach_lanes, attach_road, radius, intersect_nodes, part_idx):
+        lane_num = self.positive_lane_num
+        width = self.lane_width
+        attach_left_lane = attach_lanes[0]
+        if not isinstance(attach_left_lane, HostStraightLane):
+            return None
+
+        # left-turn connector (intersection.py:167-230, diff==0 branch)
+        left_turn_radius = radius + lane_num * width
+        left_bend, _ = create_bend_straight(
+            attach_left_lane, self.EXIT_PART_LENGTH, left_turn_radius,
+            math.radians(self.ANGLE), False, width, [LINE_NONE, LINE_NONE]
+        )
+        create_road_from(
+            left_bend, lane_num, Road(attach_road.end_node, intersect_nodes[2]),
+            self.block_network, toward_smaller_lane_index=False,
+            center_line_type=LINE_NONE, side_line_type=LINE_NONE, inner_line_type=LINE_NONE,
+        )
+
+        # straight-through lanes (intersection.py:118-127)
+        straight_len = 2 * radius + (2 * lane_num - 1) * width
+        for l in attach_lanes:
+            nxt = extend_straight_lane(l, straight_len, [LINE_NONE, LINE_NONE])
+            self.block_network.add_lane(attach_road.end_node, intersect_nodes[1], nxt)
+
+        # right-turn connector + exit straight (intersection.py:129-160)
+        right_turn_lane = attach_lanes[-1]
+        right_bend, right_straight = create_bend_straight(
+            right_turn_lane, self.EXIT_PART_LENGTH, radius,
+            math.radians(self.ANGLE), True, width, [LINE_NONE, LINE_SIDE]
+        )
+        create_road_from(
+            right_bend, lane_num, Road(attach_road.end_node, intersect_nodes[0]),
+            self.block_network, toward_smaller_lane_index=True,
+            side_line_type=LINE_SIDE, inner_line_type=LINE_NONE, center_line_type=LINE_NONE,
+        )
+        intersect_nodes.rotate(-1)
+        right_straight.line_types = [LINE_BROKEN, LINE_SIDE]
+        return right_straight
+
+    def get_socket(self, index):
+        socket = super().get_socket(index)
+        if socket.negative_road in self._respawn_roads:
+            self._respawn_roads.remove(socket.negative_road)
+        return socket
+
+    def get_intermediate_spawn_lanes(self):
+        """No traffic inside the intersection box (intersection.py:256-259)."""
+        return self.get_respawn_lanes()
+
+
+class StdInterSection(InterSection):
+    """reference: pgblock/std_intersection.py (change_lane_num forced to 0)."""
+
+
+class TInterSection(InterSection):
+    """T-intersection: an X with one arm removed
+    (reference: pgblock/t_intersection.py)."""
+
+    ID = "T"
+    SOCKET_NUM = 2
+    PARAMETER_SPACE = spaces.T_INTERSECTION_SPACE
+
+    GOAL_RIGHT, GOAL_STRAIGHT, GOAL_LEFT, GOAL_ADVERSE = 0, 1, 2, 3
+
+    def _try_plug_into_previous_block(self):
+        ok = super()._try_plug_into_previous_block()
+        if not ok:
+            return False
+        self._exclude_lanes()
+        return True
+
+    def _exclude_lanes(self):
+        # (t_intersection.py:57-88) remove the t_type arm and every
+        # connector into/out of it
+        t_type = self.config[Parameter.t_intersection_type]
+        sockets = self.get_socket_list()  # 0,1,2 from the X loop
+        all_sockets = sockets + [self.pre_block_socket]
+        kept = all_sockets[t_type]
+        start_node = kept.negative_road.end_node if t_type != self.GOAL_ADVERSE \
+            else kept.positive_road.end_node
+        end_node = kept.positive_road.start_node if t_type != self.GOAL_ADVERSE \
+            else kept.negative_road.start_node
+        for i in range(4):
+            if i == t_type:
+                continue
+            s = all_sockets[i]
+            exit_node = s.positive_road.start_node if i != self.GOAL_ADVERSE \
+                else s.negative_road.start_node
+            entry_node = s.negative_road.end_node if i != self.GOAL_ADVERSE \
+                else s.positive_road.end_node
+            self.block_network.remove_all_roads(start_node, exit_node)
+            self.block_network.remove_all_roads(entry_node, end_node)
+        # drop the removed socket and its arm roads
+        removed = self._sockets.pop(t_type)
+        self.block_network.remove_all_roads(
+            removed.positive_road.start_node, removed.positive_road.end_node
+        )
+        self.block_network.remove_all_roads(
+            removed.negative_road.start_node, removed.negative_road.end_node
+        )
+        if removed.negative_road in self._respawn_roads:
+            self._respawn_roads.remove(removed.negative_road)
+        # re-index remaining sockets 0..1
+        remaining = list(self._sockets.values())
+        self._sockets = OrderedDict()
+        self.add_sockets(*remaining)
+
+
+class StdTInterSection(TInterSection):
+    """reference: pgblock/std_t_intersection.py."""
+
+
+class Roundabout(PGBlock):
+    """4-exit roundabout (reference: pgblock/roundabout.py:12-196)."""
+
+    ID = "O"
+    SOCKET_NUM = 3
+    PARAMETER_SPACE = spaces.ROUNDABOUT_SPACE
+    EXIT_PART_LENGTH = 35.0
+
+    def _try_plug_into_previous_block(self):
+        self._spawn_segments = []
+        attach_road = self.pre_block_socket.positive_road
+        if not isinstance(attach_road.get_lanes(self.global_network)[0], HostStraightLane):
+            return False
+        for i in range(4):
+            exit_road = self._create_circular_part(
+                attach_road, i,
+                self.config[Parameter.radius_exit], self.config[Parameter.radius_inner],
+                self.config[Parameter.angle],
+            )
+            if i < 3:
+                create_adverse_road(exit_road, self.block_network)
+                attach_road = -exit_road
+        self.add_respawn_roads([s.negative_road for s in self.get_socket_list()])
+        return True
+
+    def _create_circular_part(self, road, part_idx, radius_exit, radius_inner, angle):
+        self.set_part_idx(part_idx)
+        lane_num = self.positive_lane_num
+        width = self.lane_width
+        radius_big = (lane_num * 2 - 1) * width + radius_inner
+
+        # entry curve into the ring (roundabout.py:58-83)
+        seg_start = road.end_node
+        seg_end = self.add_road_node()  # node 0
+        lanes = road.get_lanes(self.global_network if part_idx == 0 else self.block_network)
+        right_lane = lanes[-1]
+        bend, straight = create_bend_straight(
+            right_lane, 10.0, radius_exit, math.radians(angle), True, width, [LINE_BROKEN, LINE_SIDE]
+        )
+        create_road_from(bend, lane_num, Road(seg_start, seg_end), self.block_network)
+        for k, lane in enumerate(Road(seg_start, seg_end).get_lanes(self.block_network)):
+            lane.line_types = [LINE_NONE, LINE_SIDE] if k == lane_num - 1 else [LINE_NONE, LINE_NONE]
+
+        # ring segment (roundabout.py:85-108)
+        tool = HostStraightLane(straight.position(-5, 0), straight.position(0, 0), width)
+        bend2, straight_next = create_bend_straight(
+            tool, 10.0, radius_big, math.radians(2 * angle - 90), False, width, [LINE_BROKEN, LINE_SIDE]
+        )
+        seg_start, seg_end = seg_end, self.add_road_node()  # node 1
+        create_road_from(bend2, lane_num, Road(seg_start, seg_end), self.block_network)
+        self._spawn_segments.append(Road(seg_start, seg_end).get_lanes(self.block_network))
+
+        # exit curve off the ring (roundabout.py:110-133)
+        tool = HostStraightLane(straight_next.position(-5, 0), straight_next.position(0, 0), width)
+        bend3, straight3 = create_bend_straight(
+            tool, self.EXIT_PART_LENGTH, radius_exit, math.radians(angle), True, width,
+            [LINE_BROKEN, LINE_SIDE]
+        )
+        seg_start = seg_end
+        seg_end = self.add_road_node() if part_idx < 3 else self.pre_block_socket.negative_road.start_node  # node 2
+        create_road_from(bend3, lane_num, Road(seg_start, seg_end), self.block_network)
+        for k, lane in enumerate(Road(seg_start, seg_end).get_lanes(self.block_network)):
+            lane.line_types = [LINE_NONE, LINE_SIDE] if k == lane_num - 1 else [LINE_NONE, LINE_NONE]
+
+        # exit straight + socket (roundabout.py:135-149)
+        exit_start, exit_end = seg_end, self.add_road_node()  # node 3
+        if part_idx < 3:
+            exit_road = Road(exit_start, exit_end)
+            create_road_from(straight3, lane_num, exit_road, self.block_network)
+            self.add_sockets(self.create_socket_from_positive_road(exit_road))
+
+        # closing ring arc to the next part's entry (roundabout.py:151-177)
+        seg_road = Road(self.road_node(part_idx, 1), self.road_node((part_idx + 1) % 4, 0))
+        tool = HostStraightLane(straight_next.position(-6, 0), straight_next.position(0, 0), width)
+        beneath = (lane_num * 2 - 1) * width / 2 + radius_exit
+        radius_this = beneath / math.cos(math.radians(angle)) - radius_exit
+        bend4, _ = create_bend_straight(
+            tool, 5.0, radius_this, math.radians(180 - 2 * angle), False, width, [LINE_BROKEN, LINE_SIDE]
+        )
+        create_road_from(bend4, lane_num, seg_road, self.block_network)
+        for k, lane in enumerate(seg_road.get_lanes(self.block_network)):
+            if k == 0:
+                lane.line_types = [LINE_CONTINUOUS, LINE_BROKEN if lane_num > 1 else LINE_NONE]
+            else:
+                lane.line_types = [LINE_BROKEN, LINE_BROKEN]
+        return Road(exit_start, exit_end)
+
+    def get_socket(self, index):
+        socket = super().get_socket(index)
+        if socket.negative_road in self._respawn_roads:
+            self._respawn_roads.remove(socket.negative_road)
+        return socket
+
+    def get_intermediate_spawn_lanes(self):
+        return self.get_respawn_lanes() + self._spawn_segments
+
+
+class Ramp(PGBlock):
+    """Common ramp constants (reference: pgblock/ramp.py:14-36)."""
+
+    PARAMETER_SPACE = spaces.RAMP_SPACE
+    RADIUS = 40.0
+    ANGLE = 10.0
+    LANE_TYPE = [LINE_CONTINUOUS, LINE_CONTINUOUS]
+    SPEED_LIMIT = 12.0
+    CONNECT_PART_LEN = 20.0
+    RAMP_LEN = 15.0
+
+
+class InRampOnStraight(Ramp):
+    """On-ramp merging into a straight road
+    (reference: pgblock/ramp.py:38-216)."""
+
+    ID = "r"
+    EXTRA_PART = 10.0
+    SOCKET_LEN = 20.0
+
+    def _try_plug_into_previous_block(self):
+        acc_lane_len = self.config[Parameter.length]
+        if not isinstance(self.positive_basic_lane, HostStraightLane):
+            return False
+        width = self.lane_width
+        lane_num = self.positive_lane_num
+
+        self.set_part_idx(0)
+        sin_a, cos_a = math.sin(math.radians(self.ANGLE)), math.cos(math.radians(self.ANGLE))
+        longitude_len = sin_a * self.RADIUS * 2 + cos_a * self.CONNECT_PART_LEN + self.RAMP_LEN
+
+        extend_lane = extend_straight_lane(
+            self.positive_basic_lane, longitude_len + self.EXTRA_PART, [LINE_BROKEN, LINE_CONTINUOUS]
+        )
+        extend_road = Road(self.pre_block_socket.positive_road.end_node, self.add_road_node())
+        create_road_from(extend_lane, lane_num, extend_road, self.block_network,
+                         side_line_type=LINE_CONTINUOUS)
+        extend_road.get_lanes(self.block_network)[-1].line_types = [
+            LINE_BROKEN if lane_num != 1 else LINE_CONTINUOUS, LINE_CONTINUOUS
+        ]
+        create_adverse_road(extend_road, self.block_network)
+
+        # acceleration-lane section
+        acc_side_lane = extend_straight_lane(
+            extend_lane, acc_lane_len + width, [extend_lane.line_types[0], LINE_SIDE]
+        )
+        acc_road = Road(extend_road.end_node, self.add_road_node())
+        create_road_from(acc_side_lane, lane_num, acc_road, self.block_network,
+                         side_line_type=LINE_CONTINUOUS)
+        create_adverse_road(acc_road, self.block_network)
+        acc_road.get_lanes(self.block_network)[-1].line_types = [
+            LINE_CONTINUOUS if lane_num == 1 else LINE_BROKEN, LINE_BROKEN
+        ]
+
+        # socket section
+        socket_side_lane = extend_straight_lane(acc_side_lane, self.SOCKET_LEN, acc_side_lane.line_types)
+        socket_road = Road(acc_road.end_node, self.add_road_node())
+        create_road_from(socket_side_lane, lane_num, socket_road, self.block_network,
+                         side_line_type=LINE_CONTINUOUS)
+        create_adverse_road(socket_road, self.block_network)
+        self.add_sockets(self.create_socket_from_positive_road(socket_road))
+
+        # the ramp itself (part 1): straight entry, two bends, acc lane
+        self.set_part_idx(1)
+        lateral_dist = (1 - cos_a) * self.RADIUS * 2 + sin_a * self.CONNECT_PART_LEN
+        start_point = extend_lane.position(self.EXTRA_PART, lateral_dist + width)
+        end_point = extend_lane.position(self.EXTRA_PART + self.RAMP_LEN, lateral_dist + width)
+        straight_part = HostStraightLane(start_point, end_point, width, list(self.LANE_TYPE),
+                                         speed_limit=self.SPEED_LIMIT)
+        straight_road = Road(self.add_road_node(), self.add_road_node())
+        self.block_network.add_lane(straight_road.start_node, straight_road.end_node, straight_part)
+        self.add_respawn_roads(straight_road)
+
+        bend_1, connect_part = create_bend_straight(
+            straight_part, self.CONNECT_PART_LEN, self.RADIUS, math.radians(self.ANGLE),
+            False, width, list(self.LANE_TYPE)
+        )
+        bend_1_road = Road(straight_road.end_node, self.add_road_node())
+        connect_road = Road(bend_1_road.end_node, self.add_road_node())
+        self.block_network.add_lane(bend_1_road.start_node, bend_1_road.end_node, bend_1)
+        self.block_network.add_lane(connect_road.start_node, connect_road.end_node, connect_part)
+
+        bend_2, acc_lane = create_bend_straight(
+            connect_part, acc_lane_len, self.RADIUS, math.radians(self.ANGLE),
+            True, width, list(self.LANE_TYPE)
+        )
+        acc_lane.line_types = [LINE_BROKEN, LINE_CONTINUOUS]
+        bend_2_road = Road(connect_road.end_node, self.road_node(0, 0))
+        self.block_network.add_lane(bend_2_road.start_node, bend_2_road.end_node, bend_2)
+        # merge lane rides alongside the acc section as an extra right lane
+        self.block_network.add_lane(acc_road.start_node, acc_road.end_node, acc_lane)
+        return True
+
+    def get_intermediate_spawn_lanes(self):
+        """Exclude the socket road (ramp.py:203-216)."""
+        socket_lanes = self.get_socket_list()[0].get_positive_lanes(self.block_network)
+        return [
+            lanes for lanes in super().get_intermediate_spawn_lanes()
+            if socket_lanes[0] not in lanes
+        ]
+
+
+class OutRampOnStraight(Ramp):
+    """Off-ramp leaving a straight road (reference: pgblock/ramp.py:219-346)."""
+
+    ID = "R"
+    EXTRA_LEN = 15.0
+
+    def _try_plug_into_previous_block(self):
+        if not isinstance(self.positive_basic_lane, HostStraightLane):
+            return False
+        width = self.lane_width
+        lane_num = self.positive_lane_num
+        sin_a, cos_a = math.sin(math.radians(self.ANGLE)), math.cos(math.radians(self.ANGLE))
+        longitude_len = sin_a * self.RADIUS * 2 + cos_a * self.CONNECT_PART_LEN + self.RAMP_LEN + self.EXTRA_LEN
+
+        self.set_part_idx(0)
+        dec_lane_len = self.config[Parameter.length]
+        dec_lane = extend_straight_lane(
+            self.positive_basic_lane, dec_lane_len + width,
+            [self.positive_basic_lane.line_types[0], LINE_SIDE]
+        )
+        dec_road = Road(self.pre_block_socket.positive_road.end_node, self.add_road_node())
+        create_road_from(dec_lane, lane_num, dec_road, self.block_network,
+                         side_line_type=LINE_CONTINUOUS)
+        create_adverse_road(dec_road, self.block_network)
+        dec_right_lane = dec_road.get_lanes(self.block_network)[-1]
+        dec_right_lane.line_types = [
+            LINE_CONTINUOUS if lane_num == 1 else LINE_BROKEN, LINE_BROKEN
+        ]
+
+        extend_lane = extend_straight_lane(
+            dec_right_lane, longitude_len, [dec_right_lane.line_types[0], LINE_CONTINUOUS]
+        )
+        extend_road = Road(dec_road.end_node, self.add_road_node())
+        create_road_from(extend_lane, lane_num, extend_road, self.block_network,
+                         side_line_type=LINE_CONTINUOUS)
+        create_adverse_road(extend_road, self.block_network)
+        self.add_sockets(self.create_socket_from_positive_road(extend_road))
+
+        # deceleration side lane + off-ramp (part 1)
+        self.set_part_idx(1)
+        dec_side_lane = HostStraightLane(
+            dec_right_lane.position(width, width),
+            dec_right_lane.position(dec_right_lane.length, width),
+            width, [LINE_BROKEN, LINE_CONTINUOUS]
+        )
+        self.block_network.add_lane(dec_road.start_node, dec_road.end_node, dec_side_lane)
+
+        bend_1, connect_part = create_bend_straight(
+            dec_side_lane, self.CONNECT_PART_LEN, self.RADIUS, math.radians(self.ANGLE),
+            True, width, list(self.LANE_TYPE)
+        )
+        bend_1_road = Road(dec_road.end_node, self.add_road_node())
+        connect_road = Road(bend_1_road.end_node, self.add_road_node())
+        self.block_network.add_lane(bend_1_road.start_node, bend_1_road.end_node, bend_1)
+        self.block_network.add_lane(connect_road.start_node, connect_road.end_node, connect_part)
+
+        bend_2, straight_part = create_bend_straight(
+            connect_part, self.RAMP_LEN, self.RADIUS, math.radians(self.ANGLE),
+            False, width, list(self.LANE_TYPE)
+        )
+        bend_2_road = Road(connect_road.end_node, self.add_road_node())
+        straight_road = Road(bend_2_road.end_node, self.add_road_node())
+        self.block_network.add_lane(bend_2_road.start_node, bend_2_road.end_node, bend_2)
+        self.block_network.add_lane(straight_road.start_node, straight_road.end_node, straight_part)
+        return True
+
+
 # Registry used by BIG + the "map string" sugar
 # (reference: blocks_prob_dist.py + pg_map.py parse_map_config).
 PG_BLOCKS = {
     "S": Straight,
     "C": Curve,
+    "X": StdInterSection,
+    "T": StdTInterSection,
+    "O": Roundabout,
+    "r": InRampOnStraight,
+    "R": OutRampOnStraight,
 }
 
-# reference: blocks_prob_dist.py:22-41 BLOCK_TYPE_DISTRIBUTION_V2.
-# Types not yet ported are redistributed proportionally over the implemented
-# set — documented divergence until intersections/ramps/roundabout land.
+# reference: blocks_prob_dist.py:22-41 BLOCK_TYPE_DISTRIBUTION_V2
 BLOCK_DIST_V2 = {
     "Curve": 0.3,
     "Straight": 0.1,
@@ -372,4 +823,9 @@ BLOCK_DIST_V2 = {
 BLOCK_NAME_TO_CLASS = {
     "Curve": Curve,
     "Straight": Straight,
+    "InRampOnStraight": InRampOnStraight,
+    "OutRampOnStraight": OutRampOnStraight,
+    "StdInterSection": StdInterSection,
+    "StdTInterSection": StdTInterSection,
+    "Roundabout": Roundabout,
 }

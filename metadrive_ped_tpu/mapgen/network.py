@@ -88,6 +88,21 @@ class NodeRoadNetwork:
         start_node = current_lane_index[0]
         return next(self.bfs_paths(start_node, destination_node), [])
 
+    def remove_road(self, road):
+        lanes = self.graph.get(road.start_node, {}).pop(road.end_node, [])
+        if road.start_node in self.graph and not self.graph[road.start_node]:
+            self.graph.pop(road.start_node)
+        return lanes
+
+    def remove_all_roads(self, start_node, end_node):
+        """Remove every road on every path start->end
+        (reference: node_road_network.py:172-184)."""
+        removed = []
+        for path in list(self.bfs_paths(start_node, end_node)):
+            for a, b in zip(path[:-1], path[1:]):
+                removed += self.remove_road(Road(a, b))
+        return removed
+
     def get_closest_lane_index(self, position):
         """L1-closest lane (reference GraphLookupTable.get,
         node_road_network.py:19-65 — uses |lat| + overflow distance)."""

@@ -117,6 +117,13 @@ def compile_scene(seed, config):
             road_succ[rid] = road_key_to_id[(road.end_node, end2)]
             break
 
+    # lane successors are chosen GEOMETRICALLY: among lanes of every road
+    # leaving this road's end node, take the one whose start point is nearest
+    # to this lane's end (handles ramp merge lanes and intersection
+    # connectors where index-matching is wrong). Fallback: index clamp.
+    node_out_roads = {}
+    for rid2, (road2, _, _) in enumerate(road_list):
+        node_out_roads.setdefault(road2.start_node, []).append(rid2)
     lane_succ = np.full(L, -1, np.int32)
     lane_left = np.full(L, -1, np.int32)
     lane_right = np.full(L, -1, np.int32)
@@ -127,10 +134,20 @@ def compile_scene(seed, config):
             lane_left[lid] = lid - 1
         if i < road_nlanes[rid] - 1:
             lane_right[lid] = lid + 1
-        srid = road_succ[rid]
-        if srid >= 0:
-            j = min(i, road_nlanes[srid] - 1)
-            lane_succ[lid] = road_lane0[srid] + j
+        end_node = road_list[rid][0].end_node
+        best, best_d = -1, 0.75  # must join within 0.75 m
+        lane_end = lane_list[lid].end
+        for srid in node_out_roads.get(end_node, []):
+            for j in range(road_nlanes[srid]):
+                cand = road_lane0[srid] + j
+                d = float(np.hypot(*(lane_list[cand].start - lane_end)))
+                if d < best_d:
+                    best, best_d = cand, d
+        if best < 0:
+            srid = road_succ[rid]
+            if srid >= 0:
+                best = road_lane0[srid] + min(i, road_nlanes[srid] - 1)
+        lane_succ[lid] = best
 
     # ---- ego route (reference: auto_assign_task + shortest_path,
     #      node_network_navigation.py:70-128) -------------------------------
