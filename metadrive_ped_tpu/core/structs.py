@@ -48,6 +48,22 @@ class Scene:
     npc_class: jnp.ndarray
     npc_trigger_road: jnp.ndarray
     npc_valid: jnp.ndarray
+    # static traffic objects (accident scenes: cones/warnings/barriers)
+    obj_pos: jnp.ndarray
+    obj_heading: jnp.ndarray
+    obj_len: jnp.ndarray
+    obj_wid: jnp.ndarray
+    obj_kind: jnp.ndarray
+    obj_valid: jnp.ndarray
+    # pedestrians / cyclists (spawn slots; runtime state in PedState)
+    ped_lane: jnp.ndarray
+    ped_lat: jnp.ndarray
+    ped_long: jnp.ndarray
+    ped_speed: jnp.ndarray
+    ped_kind: jnp.ndarray
+    ped_len: jnp.ndarray
+    ped_wid: jnp.ndarray
+    ped_valid: jnp.ndarray
     # packed float32 lookup tables for one-hot gathers (ops/gather.py)
     lane_table: jnp.ndarray   # [S, L, LANE_F] — see LANE_* indices below
     road_table: jnp.ndarray   # [S, R, ROAD_F]
@@ -127,6 +143,7 @@ class EgoState:
     on_lane: jnp.ndarray        # [E] bool
     crash_vehicle: jnp.ndarray  # [E] bool
     crash_object: jnp.ndarray   # [E] bool
+    crash_human: jnp.ndarray    # [E] bool
     crash_sidewalk: jnp.ndarray  # [E] bool
     on_yellow_line: jnp.ndarray  # [E] bool
     on_white_line: jnp.ndarray   # [E] bool
@@ -151,13 +168,25 @@ class NpcState:
 
 
 @struct.dataclass
+class PedState:
+    """Pedestrians/cyclists walk in lane-arc coordinates along their
+    sidewalk/edge line; world pose is derived per step."""
+
+    long: jnp.ndarray           # [E,P] arc-length position
+    direction: jnp.ndarray      # [E,P] +1 along lane, -1 against
+    active: jnp.ndarray         # [E,P]
+
+
+@struct.dataclass
 class SimState:
     rng: jnp.ndarray            # [E,2] per-env PRNG key data
     sidx: jnp.ndarray           # [E] scenario index into Scene arrays
     step_count: jnp.ndarray     # [E] episode length so far
     episode_reward: jnp.ndarray  # [E]
+    episode_cost: jnp.ndarray    # [E]
     ego: EgoState
     npc: NpcState
+    ped: PedState
 
     @property
     def num_envs(self):

@@ -25,10 +25,12 @@ from metadrive_ped_tpu.constants import (
     SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
     VEHICLE_CLASS_ORDER, VEHICLE_CLASSES,
 )
-from metadrive_ped_tpu.core.structs import EgoState, NpcState, Scene, SimState, VehicleParams
+from metadrive_ped_tpu.core.structs import (
+    EgoState, NpcState, PedState, Scene, SimState, VehicleParams
+)
 from metadrive_ped_tpu.mapgen.scene import build_scene_pack
 from metadrive_ped_tpu.obs import state_obs
-from metadrive_ped_tpu.ops import collision, dynamics, idm, localization
+from metadrive_ped_tpu.ops import collision, dynamics, idm, localization, participants
 from metadrive_ped_tpu.ops import lane_geom
 
 # ---- per-class parameter tables (constants.py VEHICLE_CLASSES) ------------
@@ -79,6 +81,10 @@ class BaseVectorEnv:
                 map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0),
                 traffic_density=0.1,
                 traffic_mode="trigger",  # "trigger" | "respawn" (traffic_manager.py:20-29)
+                accident_prob=0.0,       # metadrive_env.py:51
+                static_traffic_object=True,
+                pedestrian_density=0.0,  # TPU-build extension (the _ped fork's
+                                         # participants on PG maps)
                 horizon=None,
                 truncate_as_terminate=False,
                 auto_reset=True,
@@ -122,7 +128,13 @@ class BaseVectorEnv:
         map_cfg = dict(cfg["map_config"])
         map_cfg["config"] = cfg["map"]
         pack = build_scene_pack(
-            seeds, dict(map_config=map_cfg, traffic_density=cfg["traffic_density"])
+            seeds,
+            dict(
+                map_config=map_cfg,
+                traffic_density=cfg["traffic_density"],
+                accident_prob=cfg["accident_prob"],
+                pedestrian_density=cfg["pedestrian_density"],
+            ),
         )
         self.scene = Scene.from_pack(pack)
         self.num_envs = cfg["num_envs"]
@@ -178,7 +190,7 @@ class BaseVectorEnv:
             lane=spawn_lane, route_idx=jnp.zeros(E, jnp.int32),
             on_lane=jnp.ones(E, bool),
             crash_vehicle=jnp.zeros(E, bool), crash_object=jnp.zeros(E, bool),
-            crash_sidewalk=jnp.zeros(E, bool),
+            crash_human=jnp.zeros(E, bool), crash_sidewalk=jnp.zeros(E, bool),
             on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
             out_of_route=jnp.zeros(E, bool),
             params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
@@ -198,9 +210,14 @@ class BaseVectorEnv:
             heading_pid_i=nz, heading_pid_e=nz, lateral_pid_i=nz, lateral_pid_e=nz,
             params=make_vehicle_params(scene.npc_class[sidx]),
         )
+        ped = PedState(
+            long=scene.ped_long[sidx],
+            direction=jnp.ones_like(scene.ped_long[sidx]),
+            active=scene.ped_valid[sidx],
+        )
         return SimState(
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
-            episode_reward=zeros, ego=ego, npc=npc,
+            episode_reward=zeros, episode_cost=zeros, ego=ego, npc=npc, ped=ped,
         )
 
     def _reset_impl(self, rng):
@@ -216,10 +233,26 @@ class BaseVectorEnv:
         info = dict(env_seed=sidx + self.config["start_seed"])
         return state, obs, info
 
+    def _lidar_targets(self, state):
+        """Combined (pos, heading, len, wid, active) arrays of every
+        lidar-visible / collidable body: NPC vehicles + static traffic
+        objects + pedestrians/cyclists (reference lidar mask, lidar.py:28)."""
+        scene, sidx, npc = self.scene, state.sidx, state.npc
+        ped_pos, ped_heading = participants.ped_world_pose(scene, sidx, state.ped)
+        pos = jnp.concatenate([npc.pos, scene.obj_pos[sidx], ped_pos], axis=1)
+        heading = jnp.concatenate([npc.heading, scene.obj_heading[sidx], ped_heading], axis=1)
+        length = jnp.concatenate([npc.params.length, scene.obj_len[sidx], scene.ped_len[sidx]], axis=1)
+        width = jnp.concatenate([npc.params.width, scene.obj_wid[sidx], scene.ped_wid[sidx]], axis=1)
+        active = jnp.concatenate([npc.active, scene.obj_valid[sidx], state.ped.active], axis=1)
+        N, O = npc.pos.shape[1], scene.obj_pos.shape[1]
+        kinds = dict(npc=slice(0, N), obj=slice(N, N + O), ped=slice(N + O, None))
+        return (pos, heading, length, width, active), kinds
+
     def _observe(self, state, ego_long, ego_lat):
         lidar_cfg = self.config["vehicle_config"]["lidar"]
+        targets, _ = self._lidar_targets(state)
         return state_obs.observe(
-            self.scene, state.sidx, state.ego, state.npc, ego_long, ego_lat,
+            self.scene, state.sidx, state.ego, targets, ego_long, ego_lat,
             num_lasers=lidar_cfg["num_lasers"], lidar_distance=lidar_cfg["distance"],
         )
 
@@ -259,6 +292,10 @@ class BaseVectorEnv:
         npc = npc.replace(released=released)
         npc = idm.step_npcs(scene, state.sidx, npc, ego, dt=dt, substeps=rep)
 
+        # pedestrians / cyclists advance kinematically
+        ped = participants.step_peds(scene, state.sidx, state.ped, dt * rep)
+        state = state.replace(ped=ped)
+
         # localization + navigation update (after_step,
         # base_vehicle.py:234-253)
         loc = localization.localize(scene, state.sidx, ego.pos, ego.lane, ego.route_idx)
@@ -272,16 +309,25 @@ class BaseVectorEnv:
             scene.seg_valid[state.sidx],
             (SEG_YELLOW_LINE, SEG_WHITE_LINE, SEG_SIDEWALK),
         )
-        crash_v = collision.ego_npc_crash(
-            ego.pos, ego.heading, ego.params.length, ego.params.width,
-            npc.pos, npc.heading, npc.params.length, npc.params.width, npc.active,
-        )
+        state = state.replace(ego=ego, npc=npc)
+        targets, kinds = self._lidar_targets(state)
+        t_pos, t_heading, t_len, t_wid, t_active = targets
+        hits = collision.obb_obb_overlap(
+            ego.pos[:, None, :], ego.heading[:, None],
+            ego.params.length[:, None], ego.params.width[:, None],
+            t_pos, t_heading, t_len, t_wid,
+        ) & t_active
+        crash_v = hits[:, kinds["npc"]].any(axis=1)
+        crash_o = hits[:, kinds["obj"]].any(axis=1)
+        crash_h = hits[:, kinds["ped"]].any(axis=1)
         left, right = localization.boundary_distances(scene, state.sidx, ego.route_idx, ego.pos)
         ego = ego.replace(
             on_yellow_line=seg_flags[SEG_YELLOW_LINE],
             on_white_line=seg_flags[SEG_WHITE_LINE],
             crash_sidewalk=seg_flags[SEG_SIDEWALK],
             crash_vehicle=crash_v,
+            crash_object=crash_o,
+            crash_human=crash_h,
             out_of_route=(left < 0) | (right < 0),
         )
 
@@ -296,14 +342,22 @@ class BaseVectorEnv:
         terminated, truncated, done_info = self.done_function(state, arrive, out_of_road)
 
         episode_reward = state.episode_reward + reward
-        state = state.replace(episode_reward=episode_reward)
+        episode_cost = state.episode_cost + cost
+        state = state.replace(episode_reward=episode_reward, episode_cost=episode_cost)
 
         done = terminated | truncated
+        # crash aggregates vehicle/object/building/sidewalk/human
+        # (metadrive_env.py:148-152)
+        crash_any = (
+            ego.crash_vehicle | ego.crash_object | ego.crash_sidewalk | ego.crash_human
+        )
         info = dict(
             arrive_dest=arrive, out_of_road=out_of_road,
             crash_vehicle=ego.crash_vehicle, crash_object=ego.crash_object,
-            crash_sidewalk=ego.crash_sidewalk, crash=ego.crash_vehicle | ego.crash_object,
-            max_step=truncated, cost=cost, step_reward=step_info["step_reward"],
+            crash_human=ego.crash_human, crash_sidewalk=ego.crash_sidewalk,
+            crash=crash_any,
+            max_step=truncated, cost=cost, total_cost=episode_cost,
+            step_reward=step_info["step_reward"],
             velocity=ego.speed, steering=ego.steering, acceleration=ego.throttle,
             episode_reward=episode_reward, episode_length=step_count,
             env_seed=state.sidx + cfg["start_seed"],

@@ -85,6 +85,8 @@ class MetaDriveEnv(BaseVectorEnv):
             terminated = terminated | ego.crash_vehicle
         if cfg["crash_object_done"]:
             terminated = terminated | ego.crash_object
+        if cfg["crash_human_done"]:
+            terminated = terminated | ego.crash_human
         horizon = cfg["horizon"]
         if horizon is not None:
             truncated = state.step_count >= horizon
@@ -97,6 +99,7 @@ class MetaDriveEnv(BaseVectorEnv):
             TerminationState.OUT_OF_ROAD: out_of_road,
             TerminationState.CRASH_VEHICLE: ego.crash_vehicle,
             TerminationState.CRASH_OBJECT: ego.crash_object,
+            TerminationState.CRASH_HUMAN: ego.crash_human,
             TerminationState.CRASH_SIDEWALK: ego.crash_sidewalk,
         }
         return terminated, truncated, done_info

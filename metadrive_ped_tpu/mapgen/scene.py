@@ -31,6 +31,25 @@ from metadrive_ped_tpu.mapgen.big import generate_map
 from metadrive_ped_tpu.mapgen.network import Road
 
 VEHICLE_GAP = 10.0  # reference: traffic_manager.py:32 VEHICLE_GAP
+
+# static object kinds + footprints (reference: traffic_object.py:43-160)
+OBJ_CONE = 0      # cylinder r=0.2
+OBJ_WARNING = 1   # cylinder r=0.5
+OBJ_BARRIER = 2   # box 2.0 x 0.3, long side across the lane
+OBJ_DIMS = {OBJ_CONE: (0.4, 0.4), OBJ_WARNING: (1.0, 1.0), OBJ_BARRIER: (0.3, 2.0)}
+
+# participant kinds (reference: pedestrian.py:12-118, cyclist.py:13-47)
+PED_WALKER = 0    # cylinder r=0.35, speeds {0.4, 1.2} m/s
+PED_CYCLIST = 1   # box 1.75 x 0.4
+PED_DIMS = {PED_WALKER: (0.7, 0.7), PED_CYCLIST: (1.75, 0.4)}
+PED_SPEEDS = [0.4, 1.2]  # pedestrian.py:22 SPEED_LIST
+
+# accident scene constants (reference: object_manager.py:15-27)
+ALERT_DIST = 10.0
+ACCIDENT_AREA_LEN = 10.0
+CONE_LONGITUDE = 2.0
+CONE_LATERAL = 1.0
+PROHIBIT_SCENE_PROB = 0.67
 SIDEWALK_LINE_DIST = 0.6  # reference: constants.py:320
 SIDEWALK_HALF_WIDTH = 1.0  # sidewalk is 2 m wide (constants.py:319)
 LINE_CONTACT_HALF_WIDTH = 0.075  # lane line width 0.15 (constants.py:314)
@@ -185,6 +204,82 @@ def compile_scene(seed, config):
 
     B = len(seg_p0)
 
+    # ---- accident scenes (reference: TrafficObjectManager.reset,
+    #      object_manager.py:40-152) ----------------------------------------
+    from metadrive_ped_tpu.mapgen.blocks import (
+        Curve, InRampOnStraight, OutRampOnStraight, Straight
+    )
+    accident_prob = config.get("accident_prob", 0.0)
+    obj_pos, obj_heading, obj_kind = [], [], []
+    accident_lanes = set()
+    breakdown_npcs = []  # (lane, long, class)
+    if accident_prob > 1e-2:
+        rs_obj = np.random.RandomState((seed * 31 + 17) % (2 ** 31))
+        lane_width_cfg = map_config.get("lane_width", 3.5)
+
+        def add_obj(kind, pos, heading):
+            obj_pos.append(np.asarray(pos, np.float32))
+            obj_heading.append(float(heading))
+            obj_kind.append(kind)
+
+        def prohibit_scene(lane, longitude, lateral_len, on_left):
+            # cone corridor closing one lane (object_manager.py:119-152)
+            lat_num = int(lateral_len / CONE_LATERAL)
+            long_num = int(ACCIDENT_AREA_LEN / CONE_LONGITUDE)
+            lat_seq = (
+                [l * CONE_LATERAL for l in range(lat_num)]
+                + [lat_num * CONE_LATERAL] * (long_num + 1)
+                + [(lat_num - l - 1) * CONE_LATERAL for l in range(lat_num)]
+            )
+            total = lat_num * 2 + long_num + 1
+            left = 1 if on_left else -1
+            for k, lat in zip(range(-total // 2, total // 2), lat_seq):
+                p_long = k * CONE_LONGITUDE + longitude
+                p_lat = left * (lat - lane.width / 2)
+                add_obj(OBJ_CONE, lane.position(p_long, p_lat), lane.heading_theta_at(p_long))
+
+        for block in blocks[1:]:
+            if type(block) not in (Straight, Curve, InRampOnStraight, OutRampOnStraight):
+                continue
+            if rs_obj.rand() > accident_prob:
+                continue
+            road_1 = Road(block.pre_block_socket.positive_road.end_node, block.road_node(0, 0))
+            road_2 = (
+                Road(block.road_node(0, 0), block.road_node(0, 1))
+                if not isinstance(block, Straight) else None
+            )
+            is_ramp = isinstance(block, (InRampOnStraight, OutRampOnStraight))
+            if rs_obj.rand() > PROHIBIT_SCENE_PROB:
+                acc_road = (rs_obj.choice([road_1, road_2]) if not isinstance(block, Curve) else road_2)
+                acc_road = road_1 if acc_road is None else acc_road
+                on_left = True if rs_obj.rand() > 0.5 or (acc_road is road_2 and is_ramp) else False
+                idx = 0 if on_left else -1
+                lanes = acc_road.get_lanes(network)
+                lane = lanes[idx]
+                longitude = lane.length - ACCIDENT_AREA_LEN - 5
+                accident_lanes.add(id(lane))
+                prohibit_scene(lane, longitude, lane_width_cfg, on_left)
+            else:
+                acc_road = rs_obj.choice([road_1, road_2]) if road_2 is not None else road_1
+                acc_road = road_1 if acc_road is None else acc_road
+                on_left = True if rs_obj.rand() > 0.5 or (acc_road is road_2 and is_ramp) else False
+                lanes = acc_road.get_lanes(network)
+                if len(lanes) - 1 == 0:
+                    idx = -1
+                else:
+                    idx = rs_obj.randint(0, len(lanes) - 1) if on_left else -1
+                lane = lanes[idx]
+                accident_lanes.add(id(lane))
+                longitude = rs_obj.rand() * lane.length / 2 + lane.length / 2
+                if rs_obj.rand() > 0.5:
+                    # breakdown vehicle + warning sign (object_manager.py:93-109)
+                    cls = int(rs_obj.choice(5, p=NPC_CLASS_PROBS))
+                    breakdown_npcs.append((lane, float(longitude), cls))
+                    w_long = longitude - ALERT_DIST
+                    add_obj(OBJ_WARNING, lane.position(w_long, 0), lane.heading_theta_at(w_long))
+                else:
+                    add_obj(OBJ_BARRIER, lane.position(longitude, 0), lane.heading_theta_at(longitude))
+
     # ---- traffic spawn slots (trigger mode,
     #      traffic_manager.py:231-277 _create_vehicles_once) ----------------
     density = config.get("traffic_density", 0.0)
@@ -196,6 +291,8 @@ def compile_scene(seed, config):
             candidates = []
             for lanes in trigger_lanes:
                 for lane in lanes:
+                    if id(lane) in accident_lanes:  # traffic_manager.py:249
+                        continue
                     total = int(lane.length / VEHICLE_GAP)
                     for k in range(total):
                         candidates.append((lane, k * VEHICLE_GAP))
@@ -212,7 +309,39 @@ def compile_scene(seed, config):
                 npc_long.append(long)
                 npc_class.append(cls)
                 npc_trigger.append(trig_id)
+    # breakdown vehicles join the NPC arrays, never released (trigger -2)
+    for lane, long, cls in breakdown_npcs:
+        npc_lane.append(lane_list.index(lane))
+        npc_long.append(long)
+        npc_class.append(cls)
+        npc_trigger.append(-2)
     N = len(npc_lane)
+
+    # ---- pedestrians / cyclists on sidewalks (the _ped fork's participant
+    #      path; geometry from pedestrian.py/cyclist.py; spawning is a
+    #      TPU-build extension controlled by pedestrian_density) ------------
+    ped_density = config.get("pedestrian_density", 0.0)
+    ped_lane, ped_lat, ped_long, ped_speed, ped_kind = [], [], [], [], []
+    if ped_density > 0:
+        rs_ped = np.random.RandomState((seed * 7919 + 3) % (2 ** 31))
+        side_off = None
+        for rid, (road, lane0, nlanes) in enumerate(road_list):
+            last = lane_list[lane0 + nlanes - 1]
+            if last.line_types[1] != LINE_SIDE:
+                continue
+            w = last.width
+            walk_lat = w / 2 + SIDEWALK_LINE_DIST + SIDEWALK_HALF_WIDTH
+            total = int(last.length * ped_density / 10.0)
+            for _ in range(total):
+                kind = PED_CYCLIST if rs_ped.rand() < 0.2 else PED_WALKER
+                ped_lane.append(lane0 + nlanes - 1)
+                ped_lat.append(walk_lat if kind == PED_WALKER else w / 2 - 0.5)
+                ped_long.append(float(rs_ped.rand() * last.length))
+                ped_speed.append(
+                    float(rs_ped.choice(PED_SPEEDS)) if kind == PED_WALKER else 4.0
+                )
+                ped_kind.append(kind)
+    P = len(ped_lane)
 
     return dict(
         lane_kind=lane_kind, lane_p0=lane_p0, lane_dir=lane_dir, lane_radius=lane_radius,
@@ -230,6 +359,18 @@ def compile_scene(seed, config):
         npc_lane=np.asarray(npc_lane, np.int32), npc_long=np.asarray(npc_long, np.float32),
         npc_class=np.asarray(npc_class, np.int32), npc_trigger_road=np.asarray(npc_trigger, np.int32),
         npc_valid=np.ones(N, bool),
+        obj_pos=np.asarray(obj_pos, np.float32).reshape(len(obj_pos), 2),
+        obj_heading=np.asarray(obj_heading, np.float32),
+        obj_len=np.asarray([OBJ_DIMS[k][0] for k in obj_kind], np.float32),
+        obj_wid=np.asarray([OBJ_DIMS[k][1] for k in obj_kind], np.float32),
+        obj_kind=np.asarray(obj_kind, np.int32),
+        obj_valid=np.ones(len(obj_kind), bool),
+        ped_lane=np.asarray(ped_lane, np.int32), ped_lat=np.asarray(ped_lat, np.float32),
+        ped_long=np.asarray(ped_long, np.float32), ped_speed=np.asarray(ped_speed, np.float32),
+        ped_kind=np.asarray(ped_kind, np.int32),
+        ped_len=np.asarray([PED_DIMS[k][0] for k in ped_kind], np.float32),
+        ped_wid=np.asarray([PED_DIMS[k][1] for k in ped_kind], np.float32),
+        ped_valid=np.ones(P, bool),
     )
 
 

@@ -34,9 +34,12 @@ def obs_dim(num_lasers):
     return EGO_STATE_DIM + NAVI_DIM + num_lasers
 
 
-def observe(scene, sidx, ego, npc, ego_long, ego_lat, num_lasers=240, lidar_distance=50.0):
+def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_distance=50.0):
     """Full observation [E, 19 + num_lasers]. ego_long/ego_lat are the
-    current-lane local coordinates already computed by localization."""
+    current-lane local coordinates already computed by localization;
+    ``targets`` = (pos, heading, length, width, active) arrays [E,T,...] of
+    every lidar-visible body (vehicles + traffic objects + participants —
+    the reference lidar mask, lidar.py:28 + constants.py:242-244)."""
     left, right = localization.boundary_distances(scene, sidx, ego.route_idx, ego.pos)
     f_left = clip01(left / TOTAL_SIDE_WIDTH)
     f_right = clip01(right / TOTAL_SIDE_WIDTH)
@@ -63,12 +66,9 @@ def observe(scene, sidx, ego, npc, ego_long, ego_lat, num_lasers=240, lidar_dist
 
     navi = localization.navi_info(scene, sidx, ego.route_idx, ego.pos, ego.heading)
 
-    # NOTE: un-released trigger-mode NPCs are still physically present
-    # (traffic_manager.py spawns all at reset; release only starts their
-    # policy), so lidar sees every active NPC.
+    t_pos, t_heading, t_len, t_wid, t_active = targets
     cloud = raycast.lidar_cloud(
         ego.pos, ego.heading, num_lasers, lidar_distance,
-        npc.pos, npc.heading, npc.params.length, npc.params.width,
-        npc.active,
+        t_pos, t_heading, t_len, t_wid, t_active,
     )
     return jnp.concatenate([ego_state, navi, cloud], axis=-1)
