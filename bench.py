@@ -46,15 +46,10 @@ def main():
     obs, _ = env.reset(seed=0)
     actions = np.tile(np.array([0.0, 1.0], np.float32), (num_envs, 1))
 
-    # warmup: trigger compile + a few steps
-    for _ in range(5):
-        out = env.step(actions)
-    jax.block_until_ready(out[0])
-
+    # on-device rollout (lax.scan): first call compiles, second is timed
+    env.rollout(steps, actions=actions)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = env.step(actions)
-    jax.block_until_ready(out[0])
+    env.rollout(steps, actions=actions)
     dt = time.perf_counter() - t0
 
     steps_per_s = num_envs * steps / dt

@@ -145,7 +145,8 @@ class BaseVectorEnv:
     # ------------------------------------------------------------------ API
     @property
     def observation_dim(self):
-        return state_obs.obs_dim(self.config["vehicle_config"]["lidar"]["num_lasers"])
+        lidar_cfg = self.config["vehicle_config"]["lidar"]
+        return state_obs.obs_dim(lidar_cfg["num_lasers"], lidar_cfg["num_others"])
 
     @property
     def observation_space(self):
@@ -160,12 +161,49 @@ class BaseVectorEnv:
     def reset(self, seed=0):
         rng = jax.random.PRNGKey(0 if seed is None else seed)
         self._state, obs, info = self._reset_jit(rng)
+        self._last_obs = obs
         return obs, info
 
     def step(self, actions):
         actions = jnp.asarray(actions, dtype=jnp.float32).reshape(self.num_envs, 2)
         self._state, obs, reward, terminated, truncated, info = self._step_jit(self._state, actions)
+        self._last_obs = obs
         return obs, reward, terminated, truncated, info
+
+    def rollout(self, n_steps, policy_fn=None, actions=None, collect=("reward",)):
+        """Run n_steps entirely on-device via lax.scan (no per-step host
+        dispatch — the TPU analog of collecting a rollout inside the
+        training loop). policy_fn(obs, state) -> [E,2] actions; or fixed
+        ``actions``. Returns (stacked collected arrays dict, mean_reward).
+        """
+        if actions is None and policy_fn is None:
+            actions = jnp.zeros((self.num_envs, 2), jnp.float32)
+
+        key = (id(policy_fn), tuple(collect), n_steps)
+        if getattr(self, "_rollout_cache_key", None) != key:
+            def run(state, obs0, fixed_actions):
+                def body(carry, _):
+                    state, obs = carry
+                    act = policy_fn(obs, state) if policy_fn is not None else fixed_actions
+                    state, obs, reward, term, trunc, info = self._step_impl(state, act)
+                    out = {}
+                    for k in collect:
+                        out[k] = (
+                            reward if k == "reward" else
+                            obs if k == "obs" else
+                            term if k == "terminated" else info[k]
+                        )
+                    return (state, obs), out
+                (state, obs), outs = jax.lax.scan(body, (state, obs0), None, length=n_steps)
+                return state, obs, outs
+            self._rollout_jit = jax.jit(run)
+            self._rollout_cache_key = key
+
+        obs0 = self._last_obs
+        fixed = actions if actions is not None else jnp.zeros((self.num_envs, 2), jnp.float32)
+        self._state, obs, outs = self._rollout_jit(self._state, obs0, jnp.asarray(fixed, jnp.float32))
+        mean_reward = float(jnp.mean(outs["reward"])) if "reward" in outs else 0.0
+        return outs, mean_reward
 
     def close(self):
         self._state = None
@@ -254,6 +292,7 @@ class BaseVectorEnv:
         return state_obs.observe(
             self.scene, state.sidx, state.ego, targets, ego_long, ego_lat,
             num_lasers=lidar_cfg["num_lasers"], lidar_distance=lidar_cfg["distance"],
+            num_others=lidar_cfg["num_others"], npc=state.npc,
         )
 
     # ------------------------------------------------------------------ step

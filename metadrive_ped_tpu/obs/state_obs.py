@@ -17,6 +17,7 @@ Reproduces the reference's LidarStateObservation layout exactly
   [9:19]   navigation 2x5 (node_network_navigation.py:243-292)
   [19:19+num_lasers]  lidar hit fractions (state_obs.py:210-232)
 """
+import jax
 import jax.numpy as jnp
 
 from metadrive_ped_tpu.constants import OBS_MAX_STEERING
@@ -30,16 +31,61 @@ EGO_STATE_DIM = 9
 NAVI_DIM = 10
 
 
-def obs_dim(num_lasers):
-    return EGO_STATE_DIM + NAVI_DIM + num_lasers
+def obs_dim(num_lasers, num_others=0):
+    return EGO_STATE_DIM + NAVI_DIM + num_others * 4 + num_lasers
 
 
-def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_distance=50.0):
-    """Full observation [E, 19 + num_lasers]. ego_long/ego_lat are the
-    current-lane local coordinates already computed by localization;
+def surrounding_vehicles_info(ego, npc, num_others, perceive_distance):
+    """4 features per nearest-K NPC vehicle: relative position and relative
+    velocity (km/h), both projected into the ego frame and normalized
+    (reference: lidar.py:93-138 get_surrounding_vehicles_info)."""
+    delta = npc.pos - ego.pos[:, None, :]                      # [E,N,2]
+    dist = jnp.sqrt((delta ** 2).sum(-1))
+    dist = jnp.where(npc.active, dist, jnp.inf)
+    k = min(num_others, dist.shape[1])  # fewer NPC slots than K -> pad below
+    neg_d, idx = jax.lax.top_k(-dist, k)                       # nearest K
+    found = jnp.isfinite(-neg_d) & (-neg_d <= perceive_distance)
+
+    hv = heading_vec(ego.heading)                              # [E,2]
+    rv = jnp.stack([hv[..., 1], -hv[..., 0]], axis=-1)         # rhs
+    sel = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    dx = sel(delta[..., 0])
+    dy = sel(delta[..., 1])
+    rel_x = dx * hv[:, None, 0] + dy * hv[:, None, 1]
+    rel_y = dx * rv[:, None, 0] + dy * rv[:, None, 1]
+
+    move_dir = npc.heading + npc.vel_dir
+    vx = npc.speed * 3.6 * jnp.cos(move_dir) - (ego.speed * 3.6 * jnp.cos(ego.heading + ego.vel_dir))[:, None]
+    vy = npc.speed * 3.6 * jnp.sin(move_dir) - (ego.speed * 3.6 * jnp.sin(ego.heading + ego.vel_dir))[:, None]
+    rvx = sel(vx) * hv[:, None, 0] + sel(vy) * hv[:, None, 1]
+    rvy = sel(vx) * rv[:, None, 0] + sel(vy) * rv[:, None, 1]
+
+    vmax = ego.params.max_speed_kmh[:, None]
+    feats = jnp.stack(
+        [
+            clip01((rel_x / perceive_distance + 1) / 2),
+            clip01((rel_y / perceive_distance + 1) / 2),
+            clip01((rvx / vmax + 1) / 2),
+            clip01((rvy / vmax + 1) / 2),
+        ],
+        axis=-1,
+    )  # [E,K,4]
+    feats = jnp.where(found[..., None], feats, 0.0)
+    E = feats.shape[0]
+    feats = feats.reshape(E, k * 4)
+    if k < num_others:
+        feats = jnp.concatenate([feats, jnp.zeros((E, (num_others - k) * 4))], axis=-1)
+    return feats
+
+
+def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_distance=50.0,
+            num_others=0, npc=None):
+    """Full observation [E, 19 + num_others*4 + num_lasers]. ego_long/ego_lat
+    are the current-lane local coordinates already computed by localization;
     ``targets`` = (pos, heading, length, width, active) arrays [E,T,...] of
     every lidar-visible body (vehicles + traffic objects + participants —
-    the reference lidar mask, lidar.py:28 + constants.py:242-244)."""
+    the reference lidar mask, lidar.py:28 + constants.py:242-244);
+    num_others>0 adds nearest-K vehicle features (needs npc)."""
     left, right = localization.boundary_distances(scene, sidx, ego.route_idx, ego.pos)
     f_left = clip01(left / TOTAL_SIDE_WIDTH)
     f_right = clip01(right / TOTAL_SIDE_WIDTH)
@@ -71,4 +117,8 @@ def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_
         ego.pos, ego.heading, num_lasers, lidar_distance,
         t_pos, t_heading, t_len, t_wid, t_active,
     )
-    return jnp.concatenate([ego_state, navi, cloud], axis=-1)
+    parts = [ego_state, navi]
+    if num_others > 0:
+        parts.append(surrounding_vehicles_info(ego, npc, num_others, lidar_distance))
+    parts.append(cloud)
+    return jnp.concatenate(parts, axis=-1)

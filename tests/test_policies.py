@@ -1,0 +1,72 @@
+"""Expert policy + rollout API (reference: examples/ppo_expert/numpy_expert.py,
+tests/test_policy/test_expert_performance.py)."""
+import numpy as np
+import pytest
+
+from metadrive_ped_tpu import MetaDriveEnv
+from metadrive_ped_tpu.policies.expert import (
+    expert_action, load_expert_params, make_expert_policy, obs_correction
+)
+
+
+def test_obs_correction_flips_dims():
+    import jax.numpy as jnp
+    obs = jnp.arange(275, dtype=jnp.float32) / 275.0
+    fixed = obs_correction(obs)
+    assert float(fixed[10]) == pytest.approx(1.0 - 10 / 275.0)
+    assert float(fixed[15]) == pytest.approx(1.0 - 15 / 275.0)
+    assert float(fixed[11]) == pytest.approx(11 / 275.0)
+
+
+def test_expert_weights_load_shapes():
+    p = load_expert_params()
+    assert p["w1"].shape == (275, 256)
+    assert p["w3"].shape == (256, 4)
+
+
+def test_expert_forward_batched():
+    import jax.numpy as jnp
+    p = load_expert_params()
+    obs = jnp.zeros((7, 275))
+    act = expert_action(p, obs)
+    assert act.shape == (7, 2)
+    assert np.isfinite(np.asarray(act)).all()
+
+
+def test_expert_obs_dim_275():
+    env = MetaDriveEnv(
+        dict(num_envs=2, map="S", num_scenarios=1, traffic_density=0.0,
+             vehicle_config=dict(lidar=dict(num_others=4)))
+    )
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (2, 275)
+
+
+def test_expert_drives_straight_map_without_leaving_road():
+    env = MetaDriveEnv(
+        dict(num_envs=8, map="SS", num_scenarios=1, traffic_density=0.0,
+             vehicle_config=dict(lidar=dict(num_others=4)))
+    )
+    env.reset(seed=0)
+    policy = make_expert_policy()
+    outs, mean_r = env.rollout(60, policy_fn=policy, collect=("reward", "out_of_road"))
+    assert mean_r > 0.0, "expert should make forward progress"
+    assert int(np.asarray(outs["out_of_road"]).sum()) == 0
+
+
+def test_rollout_constant_actions_matches_step_loop():
+    cfg = dict(num_envs=4, map="S", num_scenarios=1, traffic_density=0.0)
+    env1 = MetaDriveEnv(cfg)
+    env2 = MetaDriveEnv(cfg)
+    env1.reset(seed=9)
+    env2.reset(seed=9)
+    acts = np.tile([0.1, 0.7], (4, 1)).astype(np.float32)
+    for _ in range(20):
+        obs_loop, r_loop, *_ = env1.step(acts)
+    outs, _ = env2.rollout(20, actions=acts, collect=("reward", "obs"))
+    np.testing.assert_allclose(
+        np.asarray(outs["reward"][-1]), np.asarray(r_loop), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["obs"][-1]), np.asarray(obs_loop), rtol=0, atol=1e-6
+    )
