@@ -17,15 +17,23 @@ Public API mirrors the reference's env surface:
 
 from metadrive_ped_tpu.version import VERSION, __version__
 
-__all__ = ["MetaDriveEnv", "SafeMetaDriveEnv", "VERSION", "__version__"]
+__all__ = [
+    "MetaDriveEnv", "SafeMetaDriveEnv", "VaryingDynamicsEnv", "createGymWrapper",
+    "VERSION", "__version__",
+]
+
+_LAZY = {
+    "MetaDriveEnv": ("metadrive_ped_tpu.envs.metadrive_env", "MetaDriveEnv"),
+    "SafeMetaDriveEnv": ("metadrive_ped_tpu.envs.safe_metadrive_env", "SafeMetaDriveEnv"),
+    "VaryingDynamicsEnv": ("metadrive_ped_tpu.envs.varying_dynamics_env", "VaryingDynamicsEnv"),
+    "createGymWrapper": ("metadrive_ped_tpu.envs.gym_wrapper", "createGymWrapper"),
+}
 
 
 def __getattr__(name):
     # Lazy imports keep `import metadrive_ped_tpu` light (no jax warm-up).
-    if name == "MetaDriveEnv":
-        from metadrive_ped_tpu.envs.metadrive_env import MetaDriveEnv
-        return MetaDriveEnv
-    if name == "SafeMetaDriveEnv":
-        from metadrive_ped_tpu.envs.safe_metadrive_env import SafeMetaDriveEnv
-        return SafeMetaDriveEnv
+    if name in _LAZY:
+        import importlib
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(f"module 'metadrive_ped_tpu' has no attribute {name!r}")

@@ -88,6 +88,14 @@ class BaseVectorEnv:
                 horizon=None,
                 truncate_as_terminate=False,
                 auto_reset=True,
+                # discrete action interface (env_input_policy.py:9-69)
+                discrete_action=False,
+                use_multi_discrete=False,
+                discrete_steering_dim=5,
+                discrete_throttle_dim=5,
+                # per-episode randomized dynamics (varying_dynamics_env.py);
+                # dict of param -> (min, max) or None
+                random_dynamics=None,
                 decision_repeat=5,
                 physics_world_step_size=0.02,
                 vehicle_config=dict(
@@ -156,7 +164,35 @@ class BaseVectorEnv:
     @property
     def action_space(self):
         import gymnasium as gym
+        cfg = self.config
+        if cfg["discrete_action"]:
+            if cfg["use_multi_discrete"]:
+                return gym.spaces.MultiDiscrete(
+                    [cfg["discrete_steering_dim"], cfg["discrete_throttle_dim"]]
+                )
+            return gym.spaces.Discrete(
+                cfg["discrete_steering_dim"] * cfg["discrete_throttle_dim"]
+            )
         return gym.spaces.Box(-1.0, 1.0, shape=(2,), dtype=np.float32)
+
+    def _convert_actions(self, actions):
+        """Discrete / MultiDiscrete -> continuous
+        (env_input_policy.py:40-48 convert_to_continuous_action)."""
+        cfg = self.config
+        if not cfg["discrete_action"]:
+            return jnp.asarray(actions, jnp.float32).reshape(self.num_envs, 2)
+        s_dim, t_dim = cfg["discrete_steering_dim"], cfg["discrete_throttle_dim"]
+        s_unit, t_unit = 2.0 / (s_dim - 1), 2.0 / (t_dim - 1)
+        a = jnp.asarray(actions)
+        if cfg["use_multi_discrete"]:
+            a = a.reshape(self.num_envs, 2)
+            steering = a[:, 0].astype(jnp.float32) * s_unit - 1.0
+            throttle = a[:, 1].astype(jnp.float32) * t_unit - 1.0
+        else:
+            a = a.reshape(self.num_envs)
+            steering = (a % s_dim).astype(jnp.float32) * s_unit - 1.0
+            throttle = (a // s_dim).astype(jnp.float32) * t_unit - 1.0
+        return jnp.stack([steering, throttle], axis=-1)
 
     def reset(self, seed=0):
         rng = jax.random.PRNGKey(0 if seed is None else seed)
@@ -165,10 +201,25 @@ class BaseVectorEnv:
         return obs, info
 
     def step(self, actions):
-        actions = jnp.asarray(actions, dtype=jnp.float32).reshape(self.num_envs, 2)
+        actions = self._convert_actions(actions)
         self._state, obs, reward, terminated, truncated, info = self._step_jit(self._state, actions)
         self._last_obs = obs
         return obs, reward, terminated, truncated, info
+
+    # -- state snapshots (the reference's record/replay substrate:
+    #    engine.dump_episode / ReplayManager force-set,
+    #    base_engine.py:480-487; here the entire [E,...] pytree IS the
+    #    episode state, so checkpoint/resume is a tree copy) ----------------
+    def snapshot(self):
+        """Full simulation state as a host-side pytree of numpy arrays."""
+        return jax.tree_util.tree_map(np.asarray, self._state)
+
+    def restore(self, snap):
+        """Restore a snapshot taken from an env with identical config."""
+        self._state = jax.tree_util.tree_map(jnp.asarray, snap)
+        self._last_obs = self._observe(
+            self._state, jnp.zeros(self.num_envs), jnp.zeros(self.num_envs)
+        )
 
     def rollout(self, n_steps, policy_fn=None, actions=None, collect=("reward",)):
         """Run n_steps entirely on-device via lax.scan (no per-step host
@@ -186,13 +237,14 @@ class BaseVectorEnv:
                     state, obs = carry
                     act = policy_fn(obs, state) if policy_fn is not None else fixed_actions
                     state, obs, reward, term, trunc, info = self._step_impl(state, act)
-                    out = {}
-                    for k in collect:
-                        out[k] = (
-                            reward if k == "reward" else
-                            obs if k == "obs" else
-                            term if k == "terminated" else info[k]
-                        )
+                    special = dict(
+                        reward=reward, obs=obs, terminated=term, truncated=trunc,
+                        ego_pos=state.ego.pos, ego_heading=state.ego.heading,
+                        ego_speed=state.ego.speed, ego_action=state.ego.current_action,
+                        npc_pos=state.npc.pos, npc_heading=state.npc.heading,
+                        npc_speed=state.npc.speed, npc_active=state.npc.active,
+                    )
+                    out = {k: special[k] if k in special else info[k] for k in collect}
                     return (state, obs), out
                 (state, obs), outs = jax.lax.scan(body, (state, obs0), None, length=n_steps)
                 return state, obs, outs
@@ -231,7 +283,7 @@ class BaseVectorEnv:
             crash_human=jnp.zeros(E, bool), crash_sidewalk=jnp.zeros(E, bool),
             on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
             out_of_route=jnp.zeros(E, bool),
-            params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
+            params=self._ego_params(rng, E),
         )
         npc_lane = scene.npc_lane[sidx]              # [E,N]
         gn = lane_geom.gather_lane(scene, sidx[:, None], npc_lane)
@@ -256,6 +308,36 @@ class BaseVectorEnv:
         return SimState(
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
             episode_reward=zeros, episode_cost=zeros, ego=ego, npc=npc, ped=ped,
+        )
+
+    def _ego_params(self, rng, E):
+        """Default-class params, optionally re-sampled per episode from the
+        random_dynamics ranges (VaryingDynamicsAgentManager,
+        varying_dynamics_env.py:28-49)."""
+        base = make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32))
+        rd = self.config["random_dynamics"]
+        if not rd:
+            return base
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 77))(rng)
+        draws = jax.vmap(lambda k: jax.random.uniform(k, (5,)))(keys)  # [E,5]
+
+        def rng_range(i, lo_hi, default):
+            if lo_hi is None:
+                return jnp.full((E,), default)
+            lo, hi = lo_hi
+            return lo + draws[:, i] * (hi - lo)
+
+        engine = rng_range(0, rd.get("max_engine_force"), 800.0)
+        brake = rng_range(1, rd.get("max_brake_force"), 130.0)
+        steer = rng_range(2, rd.get("max_steering"), 40.0)
+        mass = rng_range(3, rd.get("mass"), 1100.0)
+        # wheel_friction scales how sharply the car can actually turn
+        fric = rng_range(4, rd.get("wheel_friction"), 0.9)
+        return base.replace(
+            accel_gain=BICYCLE_REF_ACCEL * (engine / mass) / (800.0 / 1100.0),
+            brake_gain=BICYCLE_REF_BRAKE * (brake / 130.0),
+            max_steer_rad=jnp.radians(steer),
+            wheelbase_eff=base.wheelbase_eff * jnp.clip(0.9 / fric, 0.5, 2.0),
         )
 
     def _reset_impl(self, rng):

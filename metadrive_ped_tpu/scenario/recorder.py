@@ -1,0 +1,92 @@
+"""Episode export: rollout trajectories -> ScenarioDescription dicts.
+
+The TPU analog of BaseEnv.export_scenarios (envs/base_env.py:775-836 +
+scenario/utils.py:95-323 convert_recorded_scenario_exported): the rollout's
+collected per-step state arrays become per-object track arrays at 10 Hz
+(one env step = 0.1 s simulated, so no resampling is needed).
+"""
+import numpy as np
+
+from metadrive_ped_tpu.scenario.description import MetaDriveType, ScenarioDescription as SD
+
+
+def export_scenarios(env, n_steps, policy_fn=None, actions=None, seeds=None):
+    """Roll out and convert each env's trajectory into an SD dict.
+
+    Returns {env_index: ScenarioDescription}. Mirrors the reference's
+    env.export_scenarios rollout-then-convert flow.
+    """
+    if seeds is not None:
+        env.reset(seed=seeds)
+    outs, _ = env.rollout(
+        n_steps, policy_fn=policy_fn, actions=actions,
+        collect=("ego_pos", "ego_heading", "ego_speed",
+                 "npc_pos", "npc_heading", "npc_speed", "npc_active", "terminated"),
+    )
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    T = n_steps
+    E = outs["ego_pos"].shape[1]
+    scenarios = {}
+    for e in range(E):
+        # truncate at the first termination (auto-reset would stitch episodes)
+        term = outs["terminated"][:, e]
+        t_end = int(np.argmax(term)) + 1 if term.any() else T
+
+        def track(typ, pos2, heading, vel, valid, length, width, height):
+            return {
+                SD.TYPE: typ,
+                SD.STATE: {
+                    SD.POSITION: np.concatenate(
+                        [pos2, np.zeros((T, 1), np.float32)], axis=-1
+                    ),
+                    SD.HEADING: heading.astype(np.float32),
+                    SD.VELOCITY: vel.astype(np.float32),
+                    SD.VALID: valid,
+                    "length": np.full((T,), length, np.float32),
+                    "width": np.full((T,), width, np.float32),
+                    "height": np.full((T,), height, np.float32),
+                },
+                SD.METADATA: {"track_length": T, "object_id": None, "dataset": "metadrive_ped_tpu"},
+            }
+
+        valid_t = np.arange(T) < t_end
+        ego_heading = outs["ego_heading"][:, e]
+        ego_vel = (
+            outs["ego_speed"][:, e, None]
+            * np.stack([np.cos(ego_heading), np.sin(ego_heading)], axis=-1)
+        )
+        tracks = {
+            "sdc": track(
+                MetaDriveType.VEHICLE, outs["ego_pos"][:, e], ego_heading, ego_vel,
+                valid_t, 4.515, 1.852, 1.19
+            )
+        }
+        npc_active = outs["npc_active"][:, e]  # [T,N]
+        for n in range(npc_active.shape[1]):
+            if not npc_active[:, n].any():
+                continue
+            h = outs["npc_heading"][:, e, n]
+            v = outs["npc_speed"][:, e, n, None] * np.stack([np.cos(h), np.sin(h)], axis=-1)
+            tracks[f"npc_{n}"] = track(
+                MetaDriveType.VEHICLE, outs["npc_pos"][:, e, n], h, v,
+                npc_active[:, n] & valid_t, 4.515, 1.852, 1.19
+            )
+
+        sd = SD(
+            {
+                SD.TRACKS: tracks,
+                SD.VERSION: "metadrive_ped_tpu",
+                SD.ID: f"env{e}",
+                SD.DYNAMIC_MAP_STATES: {},
+                SD.MAP_FEATURES: {},
+                SD.LENGTH: T,
+                SD.METADATA: {
+                    SD.METADRIVE_PROCESSED: True,
+                    SD.COORDINATE: SD.COORDINATE_METADRIVE,
+                    SD.TIMESTEP: np.arange(T, dtype=np.float32) * 0.1,
+                    SD.SDC_ID: "sdc",
+                },
+            }
+        )
+        scenarios[e] = sd
+    return scenarios
