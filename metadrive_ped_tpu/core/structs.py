@@ -36,8 +36,11 @@ class Scene:
     road_negative: jnp.ndarray
     road_succ: jnp.ndarray
     road_valid: jnp.ndarray
-    route_roads: jnp.ndarray
-    route_len: jnp.ndarray
+    route_roads: jnp.ndarray   # [S, SLOT, K] per-spawn-slot checkpoint roads
+    route_len: jnp.ndarray     # [S, SLOT]
+    slot_lane: jnp.ndarray     # [S, SLOT] spawn lane id
+    slot_long: jnp.ndarray     # [S, SLOT] spawn longitude
+    slot_valid: jnp.ndarray    # [S, SLOT]
     seg_p0: jnp.ndarray
     seg_p1: jnp.ndarray
     seg_type: jnp.ndarray
@@ -67,6 +70,9 @@ class Scene:
     # packed float32 lookup tables for one-hot gathers (ops/gather.py)
     lane_table: jnp.ndarray   # [S, L, LANE_F] — see LANE_* indices below
     road_table: jnp.ndarray   # [S, R, ROAD_F]
+    # flattened route views for fast (scenario, slot) row gathers
+    route_flat: jnp.ndarray      # [S*SLOT, K]
+    route_len_flat: jnp.ndarray  # [S*SLOT]
 
     @classmethod
     def from_pack(cls, pack: dict) -> "Scene":
@@ -87,6 +93,12 @@ class Scene:
         ]
         arrays["road_table"] = jnp.asarray(
             np.stack([np.asarray(c, np.float32) for c in road_cols], axis=-1)
+        )
+        rr = np.asarray(pack["route_roads"])
+        S, SLOT, K = rr.shape
+        arrays["route_flat"] = jnp.asarray(rr.reshape(S * SLOT, K))
+        arrays["route_len_flat"] = jnp.asarray(
+            np.asarray(pack["route_len"]).reshape(S * SLOT)
         )
         return cls(**arrays)
 
@@ -140,6 +152,7 @@ class EgoState:
     last_heading: jnp.ndarray   # [E]
     lane: jnp.ndarray           # [E] current lane id
     route_idx: jnp.ndarray      # [E] checkpoint index into route_roads
+    slot: jnp.ndarray           # [E] spawn-slot index (selects the route)
     on_lane: jnp.ndarray        # [E] bool
     crash_vehicle: jnp.ndarray  # [E] bool
     crash_object: jnp.ndarray   # [E] bool
@@ -184,6 +197,7 @@ class SimState:
     step_count: jnp.ndarray     # [E] episode length so far
     episode_reward: jnp.ndarray  # [E]
     episode_cost: jnp.ndarray    # [E]
+    dead_timer: jnp.ndarray      # [E] MARL delay-done countdown (0 = alive)
     ego: EgoState
     npc: NpcState
     ped: PedState

@@ -142,6 +142,7 @@ class BaseVectorEnv:
                 traffic_density=cfg["traffic_density"],
                 accident_prob=cfg["accident_prob"],
                 pedestrian_density=cfg["pedestrian_density"],
+                spawn_roads=cfg.get("spawn_roads"),
             ),
         )
         self.scene = Scene.from_pack(pack)
@@ -261,14 +262,16 @@ class BaseVectorEnv:
         self._state = None
 
     # -------------------------------------------------------------- spawning
-    def _spawn(self, rng, sidx):
-        """Fresh per-env episode state for scenario indices sidx [E]."""
+    def _spawn(self, rng, sidx, slot=None):
+        """Fresh per-env episode state for scenario indices sidx [E],
+        spawning at slot (default 0 = the single-agent entrance slot)."""
         scene = self.scene
         E = sidx.shape[0]
-        route0 = scene.route_roads[sidx][:, 0]
-        spawn_lane = lane_geom.gather_road(scene, sidx, route0)["lane0"]  # lane idx 0
+        if slot is None:
+            slot = jnp.zeros(E, jnp.int32)
+        spawn_lane = scene.slot_lane[sidx, slot]
+        long0 = scene.slot_long[sidx, slot]
         g = lane_geom.gather_lane(scene, sidx, spawn_lane)
-        long0 = jnp.full((E,), 5.0)  # spawn_longitude=5.0 (base_env.py:146)
         pos = lane_geom.position(g, long0, jnp.zeros(E))
         heading = lane_geom.heading_theta_at(g, long0)
         zeros = jnp.zeros(E)
@@ -277,7 +280,7 @@ class BaseVectorEnv:
             steering=zeros, throttle=zeros,
             last_action=jnp.zeros((E, 2)), current_action=jnp.zeros((E, 2)),
             last_pos=pos, last_heading=heading,
-            lane=spawn_lane, route_idx=jnp.zeros(E, jnp.int32),
+            lane=spawn_lane, route_idx=jnp.zeros(E, jnp.int32), slot=slot,
             on_lane=jnp.ones(E, bool),
             crash_vehicle=jnp.zeros(E, bool), crash_object=jnp.zeros(E, bool),
             crash_human=jnp.zeros(E, bool), crash_sidewalk=jnp.zeros(E, bool),
@@ -307,7 +310,8 @@ class BaseVectorEnv:
         )
         return SimState(
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
-            episode_reward=zeros, episode_cost=zeros, ego=ego, npc=npc, ped=ped,
+            episode_reward=zeros, episode_cost=zeros,
+            dead_timer=jnp.zeros(E, jnp.int32), ego=ego, npc=npc, ped=ped,
         )
 
     def _ego_params(self, rng, E):
@@ -348,25 +352,52 @@ class BaseVectorEnv:
         # (reference _reset_global_seed, base_env.py:886-891)
         sidx = jax.random.randint(keys[0], (E,), 0, self.scene.num_scenarios)
         state = self._spawn(env_rng, sidx)
-        long0 = jnp.full((E,), 5.0)
-        obs = self._observe(state, long0, jnp.zeros(E))
+        obs = self._observe(state, self.scene.slot_long[sidx, state.ego.slot], jnp.zeros(E))
         info = dict(env_seed=sidx + self.config["start_seed"])
         return state, obs, info
+
+    def _extra_vehicle_targets(self, state):
+        """Hook: additional vehicle-like bodies (MARL: the other agents of
+        the same env). Returns (pos,heading,len,wid,active) [E,X,...] or
+        None."""
+        return None
+
+    def _freeze_mask(self, state):
+        """Hook: [E] bool — rows whose ego must stay frozen this step
+        (MARL delay-done corpses). None = nothing frozen."""
+        return None
 
     def _lidar_targets(self, state):
         """Combined (pos, heading, len, wid, active) arrays of every
         lidar-visible / collidable body: NPC vehicles + static traffic
-        objects + pedestrians/cyclists (reference lidar mask, lidar.py:28)."""
+        objects + pedestrians/cyclists (reference lidar mask, lidar.py:28)
+        + any extra vehicle targets (other MARL agents)."""
         scene, sidx, npc = self.scene, state.sidx, state.npc
         ped_pos, ped_heading = participants.ped_world_pose(scene, sidx, state.ped)
-        pos = jnp.concatenate([npc.pos, scene.obj_pos[sidx], ped_pos], axis=1)
-        heading = jnp.concatenate([npc.heading, scene.obj_heading[sidx], ped_heading], axis=1)
-        length = jnp.concatenate([npc.params.length, scene.obj_len[sidx], scene.ped_len[sidx]], axis=1)
-        width = jnp.concatenate([npc.params.width, scene.obj_wid[sidx], scene.ped_wid[sidx]], axis=1)
-        active = jnp.concatenate([npc.active, scene.obj_valid[sidx], state.ped.active], axis=1)
-        N, O = npc.pos.shape[1], scene.obj_pos.shape[1]
-        kinds = dict(npc=slice(0, N), obj=slice(N, N + O), ped=slice(N + O, None))
-        return (pos, heading, length, width, active), kinds
+        pos = [npc.pos, scene.obj_pos[sidx], ped_pos]
+        heading = [npc.heading, scene.obj_heading[sidx], ped_heading]
+        length = [npc.params.length, scene.obj_len[sidx], scene.ped_len[sidx]]
+        width = [npc.params.width, scene.obj_wid[sidx], scene.ped_wid[sidx]]
+        active = [npc.active, scene.obj_valid[sidx], state.ped.active]
+        N, O, P = npc.pos.shape[1], scene.obj_pos.shape[1], ped_pos.shape[1]
+        extra = self._extra_vehicle_targets(state)
+        X = 0
+        if extra is not None:
+            for lst, arr in zip((pos, heading, length, width, active), extra):
+                lst.append(arr)
+            X = extra[0].shape[1]
+        pos = jnp.concatenate(pos, axis=1)
+        kinds = dict(
+            npc=slice(0, N), obj=slice(N, N + O), ped=slice(N + O, N + O + P),
+            agents=slice(N + O + P, N + O + P + X),
+        )
+        return (
+            pos,
+            jnp.concatenate(heading, axis=1),
+            jnp.concatenate(length, axis=1),
+            jnp.concatenate(width, axis=1),
+            jnp.concatenate(active, axis=1),
+        ), kinds
 
     def _observe(self, state, ego_long, ego_lat):
         lidar_cfg = self.config["vehicle_config"]["lidar"]
@@ -403,11 +434,20 @@ class BaseVectorEnv:
             ego.steering, ego.throttle, ego.params, dt=dt, substeps=rep,
             enable_reverse=cfg["vehicle_config"]["enable_reverse"],
         )
+        frozen = self._freeze_mask(state)
+        if frozen is not None:
+            keep2 = lambda new, old: jnp.where(
+                frozen.reshape(frozen.shape + (1,) * (old.ndim - 1)), old, new
+            )
+            pos = keep2(pos, ego.pos)
+            heading = keep2(heading, ego.heading)
+            speed = keep2(speed, ego.speed)
+            vel_dir = keep2(vel_dir, ego.vel_dir)
         ego = ego.replace(pos=pos, heading=heading, speed=speed, vel_dir=vel_dir)
 
         # NPC traffic: release by trigger road, IDM actuation, dynamics
         npc = state.npc
-        cur_road = localization.route_road_at(scene, state.sidx, ego.route_idx)
+        cur_road = localization.route_road_at(scene, state.sidx, ego.slot, ego.route_idx)
         trig = scene.npc_trigger_road[state.sidx]  # [E,N]
         released = npc.released | (trig == cur_road[:, None])
         npc = npc.replace(released=released)
@@ -419,7 +459,7 @@ class BaseVectorEnv:
 
         # localization + navigation update (after_step,
         # base_vehicle.py:234-253)
-        loc = localization.localize(scene, state.sidx, ego.pos, ego.lane, ego.route_idx)
+        loc = localization.localize(scene, state.sidx, ego.slot, ego.pos, ego.lane, ego.route_idx)
         ego = ego.replace(lane=loc["lane"], route_idx=loc["route_idx"], on_lane=loc["on_lane"])
 
         # contact flags (_state_check, base_vehicle.py:700-792)
@@ -438,10 +478,10 @@ class BaseVectorEnv:
             ego.params.length[:, None], ego.params.width[:, None],
             t_pos, t_heading, t_len, t_wid,
         ) & t_active
-        crash_v = hits[:, kinds["npc"]].any(axis=1)
+        crash_v = hits[:, kinds["npc"]].any(axis=1) | hits[:, kinds["agents"]].any(axis=1)
         crash_o = hits[:, kinds["obj"]].any(axis=1)
         crash_h = hits[:, kinds["ped"]].any(axis=1)
-        left, right = localization.boundary_distances(scene, state.sidx, ego.route_idx, ego.pos)
+        left, right = localization.boundary_distances(scene, state.sidx, ego.slot, ego.route_idx, ego.pos)
         ego = ego.replace(
             on_yellow_line=seg_flags[SEG_YELLOW_LINE],
             on_white_line=seg_flags[SEG_WHITE_LINE],
@@ -456,7 +496,7 @@ class BaseVectorEnv:
         state = state.replace(ego=ego, npc=npc, step_count=step_count)
 
         # reward / done / cost (subclass formulas)
-        arrive = localization.arrive_destination(scene, state.sidx, ego.pos)
+        arrive = localization.arrive_destination(scene, state.sidx, ego.slot, ego.pos)
         out_of_road = self._is_out_of_road(ego)
         reward, step_info = self.reward_function(state, loc, arrive, out_of_road)
         cost, cost_info = self.cost_function(state, out_of_road)
@@ -466,6 +506,7 @@ class BaseVectorEnv:
         episode_cost = state.episode_cost + cost
         state = state.replace(episode_reward=episode_reward, episode_cost=episode_cost)
 
+        state, terminated, truncated = self._post_done(state, terminated, truncated)
         done = terminated | truncated
         # crash aggregates vehicle/object/building/sidewalk/human
         # (metadrive_env.py:148-152)
@@ -488,6 +529,7 @@ class BaseVectorEnv:
 
         # auto-reset done envs in place (vectorized-RL semantics replacing
         # the reference's explicit env.reset())
+        done = self._reset_mask(state, done)
         if cfg["auto_reset"]:
             new_keys = jax.vmap(jax.random.split)(state.rng)      # [E,2,2]
             step_rng, reset_rng = new_keys[:, 0], new_keys[:, 1]
@@ -510,6 +552,15 @@ class BaseVectorEnv:
         return state, obs, reward, terminated, truncated, info
 
     # ---- overridable scheme ------------------------------------------------
+    def _post_done(self, state, terminated, truncated):
+        """Hook after done computation (MARL delay-done/respawn)."""
+        return state, terminated, truncated
+
+    def _reset_mask(self, state, done):
+        """Hook mapping per-row done -> rows to auto-reset (MARL resets an
+        env only when ALL its agents are finished)."""
+        return done
+
     def _is_out_of_road(self, ego):
         raise NotImplementedError
 

@@ -1,0 +1,250 @@
+"""Multi-agent envs (vectorized, TPU-native).
+
+Reference: metadrive/envs/marl_envs/multi_agent_metadrive.py:12-150 plus the
+SpawnManager slot machinery (manager/spawn_manager.py:20-250). Agents live on
+a second batch axis folded into rows: internal state is [E*A, ...] with the
+A rows of one env sharing a scenario; agent interactions (mutual lidar +
+collisions) reshape to [E, A].
+
+Covered semantics:
+- spawn slots tiled over spawn_roads at 8 m intervals, distinct random slot
+  per agent per episode (spawn_manager.py:72-105 reset)
+- delay_done corpses: done agents freeze in place for delay_done steps and
+  keep blocking traffic (multi_agent_metadrive.py delay_done=25)
+- respawn: after the corpse delay, agents re-enter at a random free slot
+  while the episode horizon is not exhausted (allow_respawn)
+- an env auto-resets only when ALL its agents are simultaneously finished
+  ("__all__" aggregation, multi_agent_metadrive.py:130-150)
+
+Known round-1 simplifications (documented): two agents respawning on the
+same step can rarely pick the same slot; slot-occupancy uses a radial check
+instead of the reference's exact box sweep (rect_region_detection).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metadrive_ped_tpu.envs.metadrive_env import MetaDriveEnv
+
+RESPAWN_CLEAR_RADIUS = 6.0  # ~ RESPAWN_REGION 8 x 3 m box (spawn_manager.py:27-29)
+
+
+class MultiAgentMetaDrive(MetaDriveEnv):
+    @classmethod
+    def default_config(cls):
+        config = super().default_config()
+        config.update(
+            dict(
+                num_agents=15,
+                delay_done=25,
+                allow_respawn=True,
+                crash_done=True,
+                out_of_road_done=True,
+                spawn_roads=[(">>", ">>>")],
+                horizon=1000,
+                truncate_as_terminate=True,
+                # MARL reward scheme (multi_agent_metadrive.py:49-56)
+                out_of_road_penalty=10.0,
+                crash_vehicle_penalty=10.0,
+                crash_object_penalty=10.0,
+                out_of_road_cost=0.0,
+                traffic_density=0.0,
+                vehicle_config=dict(lidar=dict(num_lasers=72, distance=40.0)),
+            ),
+            allow_add_new_key=True,
+        )
+        return config
+
+    def __init__(self, config=None):
+        cfg_in = dict(config or {})
+        super().__init__(cfg_in)
+        assert self.config["traffic_density"] == 0.0, (
+            "MARL + background IDM traffic is not supported yet (the NPC "
+            "state would be duplicated per agent row)"
+        )
+        self.agents_per_env = self.config["num_agents"]
+        self.num_marl_envs = self.config["num_envs"]
+        # internal row count: every agent is a row
+        self.num_envs = self.num_marl_envs * self.agents_per_env
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+
+    # scene compile must see the spawn roads
+    def _scene_config(self):
+        return dict(spawn_roads=[tuple(r) for r in self.config["spawn_roads"]])
+
+    # ---- row plumbing -----------------------------------------------------
+    def _rows_to_EA(self, x):
+        return x.reshape((self.num_marl_envs, self.agents_per_env) + x.shape[1:])
+
+    def _reset_impl(self, rng):
+        E, A = self.num_marl_envs, self.agents_per_env
+        rows = E * A
+        keys = jax.random.split(rng, rows + 2)
+        env_rng = keys[2:]
+        sidx_env = jax.random.randint(keys[0], (E,), 0, self.scene.num_scenarios)
+        sidx = jnp.repeat(sidx_env, A)
+        slot = self._assign_slots(keys[1], sidx_env)  # [E,A]
+        state = self._spawn(env_rng, sidx, slot.reshape(rows))
+        obs = self._observe(state, self.scene.slot_long[sidx, state.ego.slot],
+                            jnp.zeros(rows))
+        self._last_obs = obs
+        info = dict(env_seed=sidx + self.config["start_seed"])
+        return state, obs, info
+
+    def _assign_slots(self, key, sidx_env):
+        """Distinct random valid slots per agent within each env
+        (spawn_manager.py:72-90: np_random.choice without replacement)."""
+        E, A = self.num_marl_envs, self.agents_per_env
+        SLOT = self.scene.slot_valid.shape[1]
+        noise = jax.random.uniform(key, (E, SLOT))
+        score = jnp.where(self.scene.slot_valid[sidx_env], noise, -1.0)
+        order = jnp.argsort(-score, axis=1)  # valid slots first, random order
+        return order[:, :A]
+
+    # ---- hooks into the base step ----------------------------------------
+    def _extra_vehicle_targets(self, state):
+        E, A = self.num_marl_envs, self.agents_per_env
+        ego = state.ego
+        pos = self._rows_to_EA(ego.pos)            # [E,A,2]
+        grp = lambda x: jnp.repeat(x[:, None], A, axis=1).reshape(E * A, A)
+        tpos = jnp.repeat(pos[:, None], A, axis=1).reshape(E * A, A, 2)
+        theading = grp(self._rows_to_EA(ego.heading))
+        tlen = grp(self._rows_to_EA(ego.params.length))
+        twid = grp(self._rows_to_EA(ego.params.width))
+        alive = self._rows_to_EA(state.dead_timer == 0)
+        # corpses still block the road until removed (delay_done semantics):
+        # present while dead_timer > -1; removed agents are teleported far
+        # away on respawn anyway, so present = True except self
+        present = grp(jnp.ones_like(alive))
+        self_mask = ~jnp.eye(A, dtype=bool)[None].repeat(E, 0).reshape(E * A, A)
+        return tpos, theading, tlen, twid, present & self_mask
+
+    def _freeze_mask(self, state):
+        return state.dead_timer > 0
+
+    def _post_done(self, state, terminated, truncated):
+        """delay_done bookkeeping + respawn (multi_agent_metadrive.py
+        _after_vehicle_done/_respawn_vehicles)."""
+        cfg = self.config
+        newly_done = (terminated | truncated) & (state.dead_timer == 0)
+        timer = jnp.where(newly_done, cfg["delay_done"] + 1, state.dead_timer)
+        timer = jnp.maximum(timer - 1, 0)
+
+        if cfg["allow_respawn"]:
+            can_respawn = (state.dead_timer == 1) & (timer == 0)
+            state = self._respawn(state, can_respawn)
+        state = state.replace(dead_timer=timer)
+        # dead agents emit no further terminations
+        already_dead = state.dead_timer > 0
+        terminated = terminated & ~(already_dead & ~newly_done)
+        truncated = truncated & ~(already_dead & ~newly_done)
+        return state, terminated, truncated
+
+    def _respawn(self, state, mask):
+        """Respawn masked rows at a random free slot of their env."""
+        E, A = self.num_marl_envs, self.agents_per_env
+        SLOT = self.scene.slot_valid.shape[1]
+        scene = self.scene
+        sidx_env = self._rows_to_EA(state.sidx)[:, 0]
+        # slot occupancy: any agent of the env within RESPAWN_CLEAR_RADIUS
+        slot_lane = scene.slot_lane[sidx_env]          # [E,SLOT]
+        from metadrive_ped_tpu.ops import lane_geom
+        g = lane_geom.gather_lane(scene, sidx_env[:, None], slot_lane)
+        slot_pos = lane_geom.position(g, scene.slot_long[sidx_env], jnp.zeros((E, SLOT)))
+        agent_pos = self._rows_to_EA(state.ego.pos)    # [E,A,2]
+        d2 = ((slot_pos[:, :, None, :] - agent_pos[:, None, :, :]) ** 2).sum(-1)
+        occupied = (d2 < RESPAWN_CLEAR_RADIUS ** 2).any(axis=2)  # [E,SLOT]
+        free = scene.slot_valid[sidx_env] & ~occupied
+
+        new_keys = jax.vmap(jax.random.split)(state.rng)
+        rng_next, rng_pick = new_keys[:, 0], new_keys[:, 1]
+        noise = jax.vmap(lambda k: jax.random.uniform(k, (SLOT,)))(rng_pick)  # [rows,SLOT]
+        free_rows = jnp.repeat(free, A, axis=0)
+        score = jnp.where(free_rows, noise, -1.0)
+        new_slot = jnp.argmax(score, axis=1)
+        has_free = score.max(axis=1) > 0
+
+        fresh = self._spawn(rng_next, state.sidx, new_slot.astype(jnp.int32))
+        do = mask & has_free
+        sel = lambda new, old: jnp.where(
+            do.reshape(do.shape + (1,) * (old.ndim - 1)), new, old
+        )
+        ego = jax.tree_util.tree_map(sel, fresh.ego, state.ego)
+        return state.replace(
+            ego=ego, rng=rng_next,
+            step_count=jnp.where(do, 0, state.step_count),
+            episode_reward=jnp.where(do, 0.0, state.episode_reward),
+            episode_cost=jnp.where(do, 0.0, state.episode_cost),
+            dead_timer=jnp.where(do, 0, state.dead_timer),
+        )
+
+    def _reset_mask(self, state, done):
+        """Auto-reset an env only when every agent is done/dead ("__all__")."""
+        finished = done | (state.dead_timer > 0)
+        if self.config["allow_respawn"]:
+            # with respawn, the episode only ends at the horizon
+            finished = finished & (state.step_count >= self.config["horizon"])
+        all_done = self._rows_to_EA(finished).all(axis=1)  # [E]
+        return jnp.repeat(all_done, self.agents_per_env)
+
+    # ---- user-facing [E, A, ...] API --------------------------------------
+    def reset(self, seed=0):
+        obs, info = super().reset(seed)
+        return self._rows_to_EA(obs), info
+
+    def step(self, actions):
+        actions = jnp.asarray(actions, jnp.float32).reshape(self.num_envs, 2)
+        obs, reward, terminated, truncated, info = super().step(actions)
+        r = self._rows_to_EA
+        info = {k: r(v) if hasattr(v, "shape") and v.shape[:1] == (self.num_envs,) else v
+                for k, v in info.items()}
+        info["__all__"] = r(terminated | truncated).all(axis=1)
+        return r(obs), r(reward), r(terminated), r(truncated), info
+
+
+class MultiAgentRoundaboutEnv(MultiAgentMetaDrive):
+    """MARL roundabout scene (reference: marl_envs/marl_inout_roundabout.py):
+    one Roundabout block, agents spawn on all four arms."""
+
+    @classmethod
+    def default_config(cls):
+        config = super().default_config()
+        config.update(
+            dict(
+                map="O",
+                num_agents=8,
+                map_config=dict(lane_width=3.5, lane_num=2, exit_length=50.0),
+                spawn_roads=[
+                    (">>", ">>>"),
+                    ("-1O0_3_", "-1O0_2_"),
+                    ("-1O1_3_", "-1O1_2_"),
+                    ("-1O2_3_", "-1O2_2_"),
+                ],
+            )
+        )
+        return config
+
+
+class MultiAgentIntersectionEnv(MultiAgentMetaDrive):
+    """MARL intersection scene (reference: marl_envs/marl_intersection.py):
+    one StdInterSection block, agents spawn on all four arms."""
+
+    @classmethod
+    def default_config(cls):
+        config = super().default_config()
+        config.update(
+            dict(
+                map="X",
+                num_agents=8,
+                map_config=dict(lane_width=3.5, lane_num=2, exit_length=50.0),
+                spawn_roads=[
+                    (">>", ">>>"),
+                    ("-1X0_1_", "-1X0_0_"),
+                    ("-1X1_1_", "-1X1_0_"),
+                    ("-1X2_1_", "-1X2_0_"),
+                ],
+            )
+        )
+        return config

@@ -168,17 +168,67 @@ def compile_scene(seed, config):
                 best = road_lane0[srid] + min(i, road_nlanes[srid] - 1)
         lane_succ[lid] = best
 
-    # ---- ego route (reference: auto_assign_task + shortest_path,
-    #      node_network_navigation.py:70-128) -------------------------------
+    # ---- spawn slots + per-slot routes ------------------------------------
+    # Single-agent: one slot on the FirstPGBlock entrance lane 0 at long 5
+    # (base_env.py:146 spawn_longitude) routed to a random last-block socket
+    # (auto_assign_task, node_network_navigation.py:70-91). Multi-agent:
+    # slots tile every spawn road's lanes at RESPAWN_REGION_LONGITUDE=8 m
+    # intervals (spawn_manager.py:27-29,108-120), each routed to a random
+    # OTHER arm's exit.
     rs_dest = np.random.RandomState(seed)
-    last_block = blocks[-1]
-    sockets = last_block.get_socket_list()
-    socket = rs_dest.choice(sockets) if len(sockets) > 1 else sockets[0]
-    dest_node = socket.positive_road.end_node
-    spawn_lane_index = (">", ">>", 0)
-    checkpoints = network.shortest_path(spawn_lane_index, dest_node)
-    assert len(checkpoints) >= 2, "no route to destination"
-    route_roads = [road_key_to_id[(a, b)] for a, b in zip(checkpoints[:-1], checkpoints[1:])]
+    spawn_roads_cfg = config.get("spawn_roads")  # list of (start,end) or None
+    RESPAWN_REGION_LONGITUDE = 8.0
+
+    def route_from(start_node, dest_node):
+        checkpoints = network.shortest_path((start_node, None, 0), dest_node)
+        if len(checkpoints) < 2:
+            return None
+        return [road_key_to_id[(a, b)] for a, b in zip(checkpoints[:-1], checkpoints[1:])]
+
+    slot_lane, slot_long, slot_routes = [], [], []
+    if spawn_roads_cfg is None:
+        last_block = blocks[-1]
+        sockets = last_block.get_socket_list()
+        socket = rs_dest.choice(sockets) if len(sockets) > 1 else sockets[0]
+        dest_node = socket.positive_road.end_node
+        spawn_road = Road(">", ">>")
+        for lane_i, lane in enumerate(spawn_road.get_lanes(network)):
+            rr = route_from(">", dest_node)
+            assert rr, "no route to destination"
+            slot_lane.append(lane_list.index(lane))
+            slot_long.append(5.0)
+            slot_routes.append(rr)
+    else:
+        arms = [Road(a, b) for a, b in spawn_roads_cfg]
+        # each arm's exit node = end of the reversed arm road (see -Road)
+        exit_nodes = [(-r).end_node for r in arms]
+        # single-arm fallback: auto-assign to a last-block socket exit
+        # (the reference MA base on PG maps, spawn_manager update_destination)
+        last_sockets = blocks[-1].get_socket_list()
+        fallback_dests = [s.positive_road.end_node for s in last_sockets]
+        for ai, road in enumerate(arms):
+            lanes = road.get_lanes(network)
+            length = lanes[0].length
+            longs = [5.0 + RESPAWN_REGION_LONGITUDE * j
+                     for j in range(int((length - 5.0) / RESPAWN_REGION_LONGITUDE) + 1)]
+            dest_choices = [exit_nodes[aj] for aj in range(len(arms)) if aj != ai] or fallback_dests
+            for long in longs:
+                for lane in lanes:
+                    dest = dest_choices[rs_dest.randint(len(dest_choices))]
+                    rr = route_from(road.start_node, dest)
+                    if rr is None:
+                        continue
+                    slot_lane.append(lane_list.index(lane))
+                    slot_long.append(float(long))
+                    slot_routes.append(rr)
+    assert slot_routes, "no valid spawn slots"
+    SLOT = len(slot_routes)
+    K = max(len(r) for r in slot_routes)
+    route_roads = np.full((SLOT, K), -1, np.int32)
+    route_len = np.zeros((SLOT,), np.int32)
+    for i, r in enumerate(slot_routes):
+        route_roads[i, :len(r)] = r
+        route_len[i] = len(r)
 
     # ---- boundary segments ------------------------------------------------
     seg_p0, seg_p1, seg_type, seg_halfwidth = [], [], [], []
@@ -351,7 +401,9 @@ def compile_scene(seed, config):
         lane_right=lane_right, lane_valid=np.ones(L, bool),
         road_lane0=road_lane0, road_nlanes=road_nlanes, road_negative=road_negative,
         road_succ=road_succ, road_valid=np.ones(R, bool),
-        route_roads=np.asarray(route_roads, np.int32), route_len=np.int32(len(route_roads)),
+        route_roads=route_roads, route_len=route_len,
+        slot_lane=np.asarray(slot_lane, np.int32), slot_long=np.asarray(slot_long, np.float32),
+        slot_valid=np.ones(SLOT, bool),
         seg_p0=np.asarray(seg_p0, np.float32).reshape(B, 2),
         seg_p1=np.asarray(seg_p1, np.float32).reshape(B, 2),
         seg_type=np.asarray(seg_type, np.int32), seg_halfwidth=np.asarray(seg_halfwidth, np.float32),
@@ -378,36 +430,36 @@ _PAD_VALUES = dict(route_roads=-1, npc_lane=0, npc_trigger_road=-1, lane_succ=-1
                    lane_right=-1, road_succ=-1)
 
 
-def _pad_to(arr, n, pad_value=0):
-    if arr.ndim == 0:
+def _pad_to_shape(arr, shape, pad_value=0):
+    if arr.shape == tuple(shape):
         return arr
-    if arr.shape[0] == n:
-        return arr
-    pad_shape = (n - arr.shape[0],) + arr.shape[1:]
-    filler = np.full(pad_shape, pad_value, dtype=arr.dtype)
-    return np.concatenate([arr, filler], axis=0)
+    out = np.full(shape, pad_value, dtype=arr.dtype)
+    out[tuple(slice(0, s) for s in arr.shape)] = arr
+    return out
 
 
 def build_scene_pack(seeds, config, min_npc_slots=0):
     """Compile scenes for all seeds, stack with padding -> dict [S, ...]."""
     scenes = [compile_scene(s, config) for s in seeds]
     keys = scenes[0].keys()
-    axes_max = {}
+    max_shape = {}
     for k in keys:
         arrs = [sc[k] for sc in scenes]
         if arrs[0].ndim > 0:
-            axes_max[k] = max(a.shape[0] for a in arrs)
-    # shared pad sizes per array family
-    if "npc_lane" in axes_max:
-        npc_n = max(axes_max["npc_lane"], min_npc_slots, 1)
+            max_shape[k] = tuple(
+                max(max(a.shape[d] for a in arrs), 1) for d in range(arrs[0].ndim)
+            )
+    if "npc_lane" in max_shape:
+        npc_n = max(max_shape["npc_lane"][0], min_npc_slots, 1)
         for k in ("npc_lane", "npc_long", "npc_class", "npc_trigger_road", "npc_valid"):
-            axes_max[k] = npc_n
+            max_shape[k] = (npc_n,) + max_shape[k][1:]
     pack = {}
     for k in keys:
         arrs = [sc[k] for sc in scenes]
         if arrs[0].ndim == 0:
             pack[k] = np.stack(arrs)
         else:
-            n = max(axes_max[k], 1)
-            pack[k] = np.stack([_pad_to(a, n, _PAD_VALUES.get(k, 0)) for a in arrs])
+            pack[k] = np.stack(
+                [_pad_to_shape(a, max_shape[k], _PAD_VALUES.get(k, 0)) for a in arrs]
+            )
     return pack

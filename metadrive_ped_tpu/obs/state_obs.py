@@ -86,11 +86,11 @@ def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_
     every lidar-visible body (vehicles + traffic objects + participants —
     the reference lidar mask, lidar.py:28 + constants.py:242-244);
     num_others>0 adds nearest-K vehicle features (needs npc)."""
-    left, right = localization.boundary_distances(scene, sidx, ego.route_idx, ego.pos)
+    left, right = localization.boundary_distances(scene, sidx, ego.slot, ego.route_idx, ego.pos)
     f_left = clip01(left / TOTAL_SIDE_WIDTH)
     f_right = clip01(right / TOTAL_SIDE_WIDTH)
 
-    hdiff = localization.heading_diff_ref(scene, sidx, ego.route_idx, ego.pos, ego.heading)
+    hdiff = localization.heading_diff_ref(scene, sidx, ego.slot, ego.route_idx, ego.pos, ego.heading)
 
     speed_kmh = ego.speed * 3.6
     f_speed = clip01((speed_kmh + 1) / (ego.params.max_speed_kmh + 1))
@@ -110,7 +110,7 @@ def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_
         [f_left, f_right, hdiff, f_speed, f_steer, f_act0, f_act1, f_yaw, f_lat], axis=-1
     )
 
-    navi = localization.navi_info(scene, sidx, ego.route_idx, ego.pos, ego.heading)
+    navi = localization.navi_info(scene, sidx, ego.slot, ego.route_idx, ego.pos, ego.heading)
 
     t_pos, t_heading, t_len, t_wid, t_active = targets
     cloud = raycast.lidar_cloud(

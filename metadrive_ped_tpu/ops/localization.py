@@ -25,10 +25,17 @@ NAVI_POINT_DIST = 50.0    # base_navigation.py:20
 CHECK_POINT_INFO_DIM = 5  # base_navigation.py:19
 
 
-def localize(scene, sidx, pos, prev_lane, route_idx):
+def _routes(scene, sidx, slot):
+    """Per-env route rows for (scenario, spawn-slot): ([E,K] roads, [E] len)."""
+    SLOT = scene.route_len.shape[1]
+    rid = sidx * SLOT + slot
+    return scene.route_flat[rid], scene.route_len_flat[rid]
+
+
+def localize(scene, sidx, slot, pos, prev_lane, route_idx):
     """Find the current lane and updated checkpoint index for each env.
 
-    sidx, prev_lane, route_idx: [E]; pos: [E,2].
+    sidx, slot, prev_lane, route_idx: [E]; pos: [E,2].
     Returns dict(lane, route_idx, on_lane, long, lat).
     """
     E = sidx.shape[0]
@@ -41,13 +48,12 @@ def localize(scene, sidx, pos, prev_lane, route_idx):
     on_lane_any = on.any(axis=1)
 
     lane_road = scene.lane_road[sidx]  # [E,L] (row gather: fast path)
-    route_roads_e = scene.route_roads[sidx]  # [E,K]
-    cur_road = onehot_pick(
-        route_roads_e, jnp.clip(route_idx, 0, scene.route_roads.shape[1] - 1)
-    )
-    route_next = jnp.clip(route_idx + 1, 0, scene.route_roads.shape[1] - 1)
+    route_roads_e, route_len_e = _routes(scene, sidx, slot)  # [E,K], [E]
+    kmax = route_roads_e.shape[1] - 1
+    cur_road = onehot_pick(route_roads_e, jnp.clip(route_idx, 0, kmax))
+    route_next = jnp.clip(route_idx + 1, 0, kmax)
     next_road = jnp.where(
-        route_idx + 1 < scene.route_len[sidx], onehot_pick(route_roads_e, route_next), -1
+        route_idx + 1 < route_len_e, onehot_pick(route_roads_e, route_next), -1
     )
 
     dist = lane_geom.l1_distance(g, long, lat)
@@ -70,10 +76,10 @@ def localize(scene, sidx, pos, prev_lane, route_idx):
     # checkpoint advance (node_network_navigation.py:181-201): when the
     # vehicle enters a later route road near its start, move the target
     # checkpoint forward.
-    K = scene.route_roads.shape[1]
+    K = route_roads_e.shape[1]
     kk = jnp.arange(K)[None, :]
     this_road = onehot_pick(lane_road, lane)
-    match = (route_roads_e == this_road[:, None]) & (kk < scene.route_len[sidx][:, None])
+    match = (route_roads_e == this_road[:, None]) & (kk < route_len_e[:, None])
     k_pos = jnp.where(match, kk, K + 1).min(axis=1)  # first route position of this road
     advance = (k_pos > route_idx) & (k_pos <= K) & (lane_long < CKPT_UPDATE_RANGE) & found
     new_route_idx = jnp.where(advance, k_pos, route_idx)
@@ -82,18 +88,18 @@ def localize(scene, sidx, pos, prev_lane, route_idx):
                 long=lane_long, lat=lane_lat, road=this_road, cur_road=cur_road)
 
 
-def route_road_at(scene, sidx, k):
+def route_road_at(scene, sidx, slot, k):
     """Route road id at checkpoint position k (clipped), per env."""
-    kmax = scene.route_roads.shape[1] - 1
-    return onehot_pick(scene.route_roads[sidx], jnp.clip(k, 0, kmax))
+    route_roads_e, _ = _routes(scene, sidx, slot)
+    return onehot_pick(route_roads_e, jnp.clip(k, 0, route_roads_e.shape[1] - 1))
 
 
-def _ref_lane_ids(scene, sidx, route_idx):
+def _ref_lane_ids(scene, sidx, slot, route_idx):
     """(current ref road's lane0/lane_last/nlanes, next ref lane0) per env."""
-    route_roads_e = scene.route_roads[sidx]
-    kmax = scene.route_roads.shape[1] - 1
+    route_roads_e, route_len_e = _routes(scene, sidx, slot)
+    kmax = route_roads_e.shape[1] - 1
     cur_road = onehot_pick(route_roads_e, jnp.clip(route_idx, 0, kmax))
-    has_next = route_idx + 1 < scene.route_len[sidx]
+    has_next = route_idx + 1 < route_len_e
     next_road = jnp.where(
         has_next, onehot_pick(route_roads_e, jnp.clip(route_idx + 1, 0, kmax)), cur_road
     )
@@ -138,9 +144,9 @@ def _checkpoint_info(scene, sidx, ref_lane, lane_num, lane_width, pos, heading):
     )
 
 
-def navi_info(scene, sidx, route_idx, pos, heading):
+def navi_info(scene, sidx, slot, route_idx, pos, heading):
     """The 10-dim navigation observation block (2 checkpoints x 5)."""
-    lane0, nlanes, next_lane0, has_next = _ref_lane_ids(scene, sidx, route_idx)
+    lane0, nlanes, next_lane0, has_next = _ref_lane_ids(scene, sidx, slot, route_idx)
     lane_width = scene.lane_width[sidx, lane0]
     info1 = _checkpoint_info(scene, sidx, lane0, nlanes, lane_width, pos, heading)
     ref2 = jnp.where(has_next, next_lane0, lane0)
@@ -148,10 +154,10 @@ def navi_info(scene, sidx, route_idx, pos, heading):
     return jnp.concatenate([info1, info2], axis=-1)
 
 
-def boundary_distances(scene, sidx, route_idx, pos):
+def boundary_distances(scene, sidx, slot, route_idx, pos):
     """(lateral_to_left, lateral_to_right) w.r.t. the current ref road
     (reference: base_vehicle.py:488-499 update_dist_to_left_right)."""
-    lane0, nlanes, _, _ = _ref_lane_ids(scene, sidx, route_idx)
+    lane0, nlanes, _, _ = _ref_lane_ids(scene, sidx, slot, route_idx)
     g0 = lane_geom.gather_lane(scene, sidx, lane0)
     _, lat0 = lane_geom.local_coordinates(g0, pos)
     lane_width = g0["width"]
@@ -161,11 +167,11 @@ def boundary_distances(scene, sidx, route_idx, pos):
     return lateral_to_left, lateral_to_right
 
 
-def heading_diff_ref(scene, sidx, route_idx, pos, heading):
+def heading_diff_ref(scene, sidx, slot, route_idx, pos, heading):
     """heading_diff vs the RIGHTMOST current ref lane
     (state_obs.py:104-108 uses current_ref_lanes[-1];
     formula base_vehicle.py:528-552)."""
-    lane0, nlanes, _, _ = _ref_lane_ids(scene, sidx, route_idx)
+    lane0, nlanes, _, _ = _ref_lane_ids(scene, sidx, slot, route_idx)
     ref_last = lane0 + nlanes - 1
     g = lane_geom.gather_lane(scene, sidx, ref_last)
     # lateral (right-hand) direction of the lane at the vehicle position
@@ -181,11 +187,12 @@ def heading_diff_ref(scene, sidx, route_idx, pos, heading):
     return jnp.clip(cos, -1.0, 1.0) / 2 + 0.5
 
 
-def arrive_destination(scene, sidx, pos):
+def arrive_destination(scene, sidx, slot, pos):
     """_is_arrive_destination (metadrive_env.py:213-227): within a 5 m
     longitudinal window of the final lane's end, laterally inside the road."""
-    last_k = jnp.maximum(scene.route_len[sidx] - 1, 0)
-    final_road = onehot_pick(scene.route_roads[sidx], last_k)
+    route_roads_e, route_len_e = _routes(scene, sidx, slot)
+    last_k = jnp.maximum(route_len_e - 1, 0)
+    final_road = onehot_pick(route_roads_e, last_k)
     r = lane_geom.gather_road(scene, sidx, final_road)
     lane0, nlanes = r["lane0"], r["nlanes"]
     final_lane = lane0 + nlanes - 1  # navigation.final_lane = final_lanes[-1]

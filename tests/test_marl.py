@@ -1,0 +1,84 @@
+"""Multi-agent envs (reference: envs/marl_envs/multi_agent_metadrive.py,
+tests/test_env/test_ma_*, tests/test_functionality/test_marl_reborn.py)."""
+import numpy as np
+import pytest
+
+from metadrive_ped_tpu.envs.marl_envs import (
+    MultiAgentIntersectionEnv, MultiAgentMetaDrive, MultiAgentRoundaboutEnv
+)
+
+
+def test_marl_shapes_and_obs_dim():
+    env = MultiAgentMetaDrive(dict(num_envs=2, num_agents=4))
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (2, 4, 91)  # 9 + 10 + 72 lasers (MARL lidar config)
+    obs, r, te, tr, inf = env.step(np.zeros((2, 4, 2), np.float32))
+    assert r.shape == (2, 4)
+    assert te.shape == (2, 4)
+    assert inf["__all__"].shape == (2,)
+
+
+def test_marl_agents_spawn_distinct_slots():
+    env = MultiAgentRoundaboutEnv(dict(num_envs=3, num_agents=8))
+    env.reset(seed=1)
+    slots = np.asarray(env._state.ego.slot).reshape(3, 8)
+    for e in range(3):
+        assert len(np.unique(slots[e])) == 8, "agents must occupy distinct slots"
+    pos = np.asarray(env._state.ego.pos).reshape(3, 8, 2)
+    d = np.linalg.norm(pos[:, :, None] - pos[:, None, :], axis=-1)
+    d += np.eye(8)[None] * 1e6
+    assert d.min() > 2.0, "agents must not spawn on top of each other"
+
+
+def test_marl_agents_see_each_other_in_lidar():
+    env = MultiAgentRoundaboutEnv(dict(num_envs=1, num_agents=8))
+    obs, _ = env.reset(seed=0)
+    cloud = np.asarray(obs)[0, :, 19:]
+    assert (cloud < 0.99).any(), "agents within 40 m should appear in mutual lidar"
+
+
+def test_marl_crash_between_agents():
+    # all agents full throttle at an intersection from 4 arms -> collisions
+    env = MultiAgentIntersectionEnv(dict(num_envs=2, num_agents=8, delay_done=5))
+    env.reset(seed=0)
+    crashed = False
+    for i in range(150):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 1.0], (2, 8, 1)))
+        if bool(np.asarray(inf["crash_vehicle"]).any()):
+            crashed = True
+            break
+    assert crashed, "full-throttle agents from 4 arms should eventually collide"
+
+
+def test_marl_delay_done_freezes_then_respawns():
+    env = MultiAgentRoundaboutEnv(
+        dict(num_envs=1, num_agents=6, delay_done=5, allow_respawn=True)
+    )
+    env.reset(seed=0)
+    saw_dead = saw_respawn = False
+    prev_dead = np.zeros(6, bool)
+    for i in range(250):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 1.0], (1, 6, 1)))
+        dead = np.asarray(env._state.dead_timer).reshape(1, 6)[0] > 0
+        if dead.any():
+            saw_dead = True
+        if (prev_dead & ~dead).any():
+            saw_respawn = True
+            break
+        prev_dead = dead
+    assert saw_dead, "aggressive driving should produce corpses"
+    assert saw_respawn, "corpses should respawn after delay_done"
+
+
+def test_marl_no_respawn_all_done_resets():
+    env = MultiAgentIntersectionEnv(
+        dict(num_envs=1, num_agents=2, allow_respawn=False, delay_done=0, horizon=50)
+    )
+    env.reset(seed=0)
+    for i in range(60):
+        obs, r, te, tr, inf = env.step(np.tile([1.0, 1.0], (1, 2, 1)))
+        if bool(np.asarray(inf["__all__"]).any()):
+            break
+    # after __all__, env auto-resets: agents back at spawn with zero speed
+    st = env._state
+    assert bool(np.isfinite(np.asarray(obs)).all())
