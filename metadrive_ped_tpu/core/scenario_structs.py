@@ -1,0 +1,68 @@
+"""Pytree structures for the scenario (log-replay) path."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from metadrive_ped_tpu.core.structs import EgoState
+
+TRK_VEHICLE = 0
+TRK_PEDESTRIAN = 1
+TRK_CYCLIST = 2
+
+
+@struct.dataclass
+class ScenarioScene:
+    """Stacked per-scenario replay arrays [S, ...] (mapgen/scenario_scene.py).
+
+    Mirrors what the reference reconstructs per episode from a
+    ScenarioDescription (manager/scenario_map_manager.py +
+    scenario_traffic_manager.py), flattened for lockstep replay.
+    """
+
+    sdc_pts: jnp.ndarray       # [S, PT, 2] ego reference trajectory
+    sdc_npts: jnp.ndarray      # [S]
+    trk_pos: jnp.ndarray       # [S, TRK, T, 2]
+    trk_heading: jnp.ndarray   # [S, TRK, T]
+    trk_valid: jnp.ndarray     # [S, TRK, T]
+    trk_len: jnp.ndarray       # [S, TRK]
+    trk_wid: jnp.ndarray       # [S, TRK]
+    trk_kind: jnp.ndarray      # [S, TRK] TRK_* codes
+    scenario_len: jnp.ndarray  # [S] valid timesteps
+    seg_p0: jnp.ndarray        # [S, B, 2] map boundary segments
+    seg_p1: jnp.ndarray
+    seg_type: jnp.ndarray
+    seg_halfwidth: jnp.ndarray
+    seg_valid: jnp.ndarray
+    sdc_start_pos: jnp.ndarray     # [S,2]
+    sdc_start_heading: jnp.ndarray  # [S]
+
+    @classmethod
+    def from_pack(cls, pack):
+        return cls(**{k: jnp.asarray(np.asarray(v)) for k, v in pack.items()})
+
+    @property
+    def num_scenarios(self):
+        return self.sdc_npts.shape[0]
+
+    @property
+    def max_tracks(self):
+        return self.trk_pos.shape[1]
+
+
+@struct.dataclass
+class ScenarioSimState:
+    rng: jnp.ndarray
+    sidx: jnp.ndarray
+    step_count: jnp.ndarray
+    episode_reward: jnp.ndarray
+    episode_cost: jnp.ndarray
+    ego: EgoState              # route_idx/slot/lane unused on this path
+    last_long: jnp.ndarray     # [E] trajectory longitude at t-1
+    cur_long: jnp.ndarray      # [E]
+    cur_lat: jnp.ndarray       # [E]
+    # reactive-traffic state (TrajectoryIDMPolicy): arc position + speed on
+    # each track's own recorded path
+    npc_long: jnp.ndarray      # [E, TRK]
+    npc_speed: jnp.ndarray     # [E, TRK]

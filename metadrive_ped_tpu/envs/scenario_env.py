@@ -1,0 +1,459 @@
+"""ScenarioEnv — log replay of ScenarioDescription datasets (vectorized).
+
+Reference: metadrive/envs/scenario_env.py:21-357 + the scenario managers
+(manager/scenario_*.py). Every env replays one scenario: traffic follows its
+recorded tracks frame by frame (ReplayTrafficParticipantPolicy,
+policy/replay_policy.py:10-68) or, with reactive_traffic, IDM speed control
+along the recorded path (TrajectoryIDMPolicy, idm_policy.py:426-493); the
+ego is RL-controlled and navigated along the recorded sdc trajectory
+(TrajectoryNavigation, navigation_module/trajectory_navigation.py).
+
+Observation layout (reference formula, 161 dims with the default config):
+  12 side-detector rays + 6 ego core + 1 lane-lateral = 19
+  trajectory navi 10 waypoints x 2 + (lateral, heading-diff) = 22
+  lidar 120
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metadrive_ped_tpu.config import Config
+from metadrive_ped_tpu.constants import (
+    OBS_MAX_STEERING, SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE, TerminationState
+)
+from metadrive_ped_tpu.core.scenario_structs import (
+    ScenarioScene, ScenarioSimState, TRK_PEDESTRIAN
+)
+from metadrive_ped_tpu.core.structs import EgoState
+from metadrive_ped_tpu.envs.base import DEFAULT_CLASS_IDX, make_vehicle_params
+from metadrive_ped_tpu.mapgen.scenario_scene import build_scenario_pack
+from metadrive_ped_tpu.ops import collision, dynamics, polyline, raycast
+from metadrive_ped_tpu.ops.math_ops import clip01, heading_vec, rhs_vec, wrap_to_pi
+
+NUM_WAY_POINT = 10      # trajectory_navigation.py:21
+CKPT_DIM = 2
+DISCRETE_LEN = 2.0      # trajectory_navigation.py:19
+TRAJ_NAVI_POINT_DIST = 30.0
+
+NAVI_DIM = NUM_WAY_POINT * CKPT_DIM + 2  # = 22
+
+
+class ScenarioEnv:
+    @classmethod
+    def default_config(cls):
+        # reference: scenario_env.py:21-94 SCENARIO_ENV_CONFIG
+        return Config(
+            dict(
+                num_envs=16,
+                data_directory=None,
+                scenario_data=None,  # in-memory list of SD dicts (tests/pipelines)
+                start_scenario_index=0,
+                num_scenarios=None,
+                sequential_seed=False,
+                worker_index=0,
+                num_workers=1,
+                no_traffic=False,
+                reactive_traffic=False,
+                even_sample_vehicle_class=True,
+                horizon=None,
+                truncate_as_terminate=False,
+                auto_reset=True,
+                decision_repeat=5,
+                physics_world_step_size=0.02,
+                vehicle_config=dict(
+                    enable_reverse=False,
+                    lidar=dict(num_lasers=120, distance=50.0),
+                    side_detector=dict(num_lasers=12, distance=50.0),
+                    lane_line_detector=dict(num_lasers=0, distance=50.0),
+                ),
+                # reward scheme (scenario_env.py:64-80)
+                success_reward=5.0,
+                out_of_road_penalty=5.0,
+                on_lane_line_penalty=1.0,
+                crash_vehicle_penalty=1.0,
+                crash_object_penalty=1.0,
+                crash_human_penalty=1.0,
+                driving_reward=1.0,
+                steering_range_penalty=0.5,
+                heading_penalty=1.0,
+                lateral_penalty=0.5,
+                max_lateral_dist=4.0,
+                no_negative_reward=True,
+                crash_vehicle_cost=1.0,
+                crash_object_cost=1.0,
+                out_of_road_cost=1.0,
+                crash_human_cost=1.0,
+                out_of_route_done=False,
+                crash_vehicle_done=False,
+                crash_object_done=False,
+                crash_human_done=False,
+                relax_out_of_road_done=True,
+            )
+        )
+
+    def __init__(self, config=None):
+        self.config = self.default_config()
+        if config:
+            self.config.update(config)
+        cfg = self.config
+        if cfg["scenario_data"] is not None:
+            sds = list(cfg["scenario_data"])
+        else:
+            from metadrive_ped_tpu.scenario.utils import load_scenarios
+            assert cfg["data_directory"], "need data_directory or scenario_data"
+            sds = load_scenarios(
+                cfg["data_directory"], cfg["start_scenario_index"], cfg["num_scenarios"],
+                cfg["worker_index"], cfg["num_workers"],
+            )
+        if cfg["num_scenarios"]:
+            sds = sds[: cfg["num_scenarios"]]
+        self.num_scenarios = len(sds)
+        self.scene = ScenarioScene.from_pack(build_scenario_pack(sds))
+        self.num_envs = cfg["num_envs"]
+        self._state = None
+        self._step_jit = jax.jit(self._step_impl, donate_argnums=0)
+        self._reset_jit = jax.jit(self._reset_impl)
+
+    # ------------------------------------------------------------------ API
+    @property
+    def observation_dim(self):
+        vc = self.config["vehicle_config"]
+        side = max(vc["side_detector"]["num_lasers"], 2)
+        return side + 6 + 1 + NAVI_DIM + vc["lidar"]["num_lasers"]
+
+    def reset(self, seed=0):
+        rng = jax.random.PRNGKey(0 if seed is None else seed)
+        self._state, obs, info = self._reset_jit(rng)
+        return obs, info
+
+    def step(self, actions):
+        actions = jnp.asarray(actions, jnp.float32).reshape(self.num_envs, 2)
+        self._state, obs, reward, term, trunc, info = self._step_jit(self._state, actions)
+        return obs, reward, term, trunc, info
+
+    def close(self):
+        self._state = None
+
+    # ------------------------------------------------------------- internals
+    def _spawn(self, rng, sidx):
+        scene = self.scene
+        E = sidx.shape[0]
+        pos = scene.sdc_start_pos[sidx]
+        heading = scene.sdc_start_heading[sidx]
+        zeros = jnp.zeros(E)
+        zi = jnp.zeros(E, jnp.int32)
+        ego = EgoState(
+            pos=pos, heading=heading, speed=zeros, vel_dir=zeros,
+            steering=zeros, throttle=zeros,
+            last_action=jnp.zeros((E, 2)), current_action=jnp.zeros((E, 2)),
+            last_pos=pos, last_heading=heading,
+            lane=zi, route_idx=zi, slot=zi,
+            on_lane=jnp.ones(E, bool),
+            crash_vehicle=jnp.zeros(E, bool), crash_object=jnp.zeros(E, bool),
+            crash_human=jnp.zeros(E, bool), crash_sidewalk=jnp.zeros(E, bool),
+            on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
+            out_of_route=jnp.zeros(E, bool),
+            params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
+        )
+        TRK = scene.max_tracks
+        return ScenarioSimState(
+            rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
+            episode_reward=zeros, episode_cost=zeros, ego=ego,
+            last_long=zeros, cur_long=zeros, cur_lat=zeros,
+            npc_long=jnp.zeros((E, TRK)), npc_speed=jnp.zeros((E, TRK)),
+        )
+
+    def _reset_impl(self, rng):
+        E = self.num_envs
+        keys = jax.random.split(rng, E + 1)
+        if self.config["sequential_seed"]:
+            sidx = (jnp.arange(E) + self.config["worker_index"]) % self.num_scenarios
+        else:
+            sidx = jax.random.randint(keys[0], (E,), 0, self.num_scenarios)
+        state = self._spawn(keys[1:], sidx)
+        obs = self._observe(state)
+        return state, obs, dict(env_seed=sidx + self.config["start_scenario_index"])
+
+    def _npc_pose(self, state):
+        """Replayed (or reactive) traffic pose at the current timestep."""
+        scene, sidx = self.scene, state.sidx
+        t = jnp.clip(state.step_count, 0, scene.trk_pos.shape[2] - 1)
+        trk_pos = scene.trk_pos[sidx]        # [E,TRK,T,2]
+        trk_heading = scene.trk_heading[sidx]
+        trk_valid = scene.trk_valid[sidx]
+        E, TRK = trk_valid.shape[:2]
+        tt = t[:, None, None]
+        pos = jnp.take_along_axis(trk_pos, tt[..., None].repeat(2, -1), axis=2)[:, :, 0]
+        heading = jnp.take_along_axis(trk_heading, tt, axis=2)[:, :, 0]
+        active = jnp.take_along_axis(trk_valid, tt, axis=2)[:, :, 0]
+
+        if self.config["reactive_traffic"]:
+            # TrajectoryIDM-style: vehicles follow their recorded path with
+            # IDM speed control against the body ahead (idm_policy.py:426-493)
+            npts = trk_valid.sum(axis=2)
+            path = trk_pos  # [E,TRK,T,2] as polyline per track
+            p_pos = polyline.position(path, npts, state.npc_long)
+            p_heading = polyline.heading_at(path, npts, state.npc_long)
+            # replace vehicle tracks by reactive pose; peds stay replayed
+            is_vehicle = scene.trk_kind[sidx] == 0
+            pos = jnp.where(is_vehicle[..., None], p_pos, pos)
+            heading = jnp.where(is_vehicle, p_heading, heading)
+            started = state.step_count[:, None] > 0
+            active = active | (is_vehicle & started & (npts > 1))
+        return pos, heading, active
+
+    def _step_npc_reactive(self, state, ego):
+        """Advance reactive-traffic arc positions with IDM speed control."""
+        from metadrive_ped_tpu.ops.idm import idm_acceleration
+        scene, sidx = self.scene, state.sidx
+        trk_valid = scene.trk_valid[sidx]
+        npts = trk_valid.sum(axis=2)
+        path = scene.trk_pos[sidx]
+        pos = polyline.position(path, npts, state.npc_long)
+        heading = polyline.heading_at(path, npts, state.npc_long)
+        # front gap: nearest other body roughly ahead along heading
+        cand = jnp.concatenate([pos, ego.pos[:, None]], axis=1)
+        cand_speed = jnp.concatenate([state.npc_speed, ego.speed[:, None]], axis=1)
+        delta = cand[:, None, :, :] - pos[:, :, None, :]
+        hv = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=-1)
+        ahead = (delta * hv[:, :, None, :]).sum(-1)
+        lateral = jnp.abs(delta[..., 0] * hv[:, :, None, 1] - delta[..., 1] * hv[:, :, None, 0])
+        TRK = pos.shape[1]
+        not_self = ~jnp.eye(TRK, TRK + 1, dtype=bool)[None]
+        valid = (ahead > 0.5) & (lateral < 2.0) & not_self
+        gap = jnp.where(valid, ahead, jnp.inf)
+        front = jnp.argmin(gap, axis=2)
+        front_dist = jnp.take_along_axis(gap, front[..., None], axis=2)[..., 0]
+        has_front = jnp.isfinite(front_dist)
+        front_speed = jnp.take_along_axis(cand_speed, front, axis=1)
+        acc = idm_acceleration(
+            state.npc_speed * 3.6, front_speed * 3.6,
+            jnp.where(has_front, front_dist, 1e6), has_front,
+        )
+        dt = self.config["physics_world_step_size"] * self.config["decision_repeat"]
+        speed = jnp.clip(state.npc_speed + acc * 3.0 * dt, 0.0, 16.7)
+        long = state.npc_long + speed * dt
+        total = polyline.total_length(path, npts)
+        long = jnp.minimum(long, total)
+        return state.replace(npc_long=long, npc_speed=speed)
+
+    def _observe(self, state):
+        cfg = self.config
+        scene, sidx, ego = self.scene, state.sidx, state.ego
+        vc = cfg["vehicle_config"]
+        E = self.num_envs
+
+        pts = scene.sdc_pts[sidx]
+        npts = scene.sdc_npts[sidx]
+        long, lat = polyline.local_coordinates(pts, npts, ego.pos)
+        traj_heading = polyline.heading_at(pts, npts, long)
+
+        # --- side detector rays vs continuous lines (state_obs.py:77-86) ---
+        n_side = vc["side_detector"]["num_lasers"]
+        seg_line = (scene.seg_type[sidx] == SEG_YELLOW_LINE) | (scene.seg_type[sidx] == SEG_WHITE_LINE)
+        if n_side > 0:
+            side = raycast.side_detector_cloud(
+                ego.pos, ego.heading, n_side, vc["side_detector"]["distance"],
+                scene.seg_p0[sidx], scene.seg_p1[sidx],
+                seg_line & scene.seg_valid[sidx],
+            )
+        else:
+            side = jnp.ones((E, 2))
+
+        # --- ego core (state_obs.py:100-151) -------------------------------
+        hv = heading_vec(ego.heading)
+        traj_rhs = rhs_vec(traj_heading)
+        hdiff = jnp.clip((hv * traj_rhs).sum(-1), -1.0, 1.0) / 2 + 0.5
+        speed_kmh = ego.speed * 3.6
+        f_speed = clip01((speed_kmh + 1) / (ego.params.max_speed_kmh + 1))
+        f_steer = clip01((ego.steering / OBS_MAX_STEERING + 1) / 2)
+        f_a0 = clip01((ego.current_action[:, 0] + 1) / 2)
+        f_a1 = clip01((ego.current_action[:, 1] + 1) / 2)
+        cosb = (heading_vec(ego.heading) * heading_vec(ego.last_heading)).sum(-1)
+        f_yaw = clip01(jnp.arccos(jnp.clip(cosb, 0.0, 1.0)) / 0.1)
+        f_lat = clip01((lat * 2 / 4.5 + 1) / 2)
+        core = jnp.stack([hdiff, f_speed, f_steer, f_a0, f_a1, f_yaw, f_lat], axis=-1)
+
+        # --- trajectory navi (trajectory_navigation.py:106-146) ------------
+        next_idx = jnp.maximum((long / DISCRETE_LEN).astype(jnp.int32) + 1, 0)
+        ks = jnp.arange(1, NUM_WAY_POINT)  # ckpts[1:]
+        total = polyline.total_length(pts, npts)
+        ck_long = jnp.minimum(
+            (next_idx[:, None] + ks[None, :]).astype(jnp.float32) * DISCRETE_LEN,
+            total[:, None],
+        )
+        ck_pos = polyline.position(
+            pts[:, None].repeat(NUM_WAY_POINT - 1, 1), npts[:, None], ck_long
+        )
+        dirv = ck_pos - ego.pos[:, None, :]
+        dn = jnp.sqrt((dirv ** 2).sum(-1))
+        scale = jnp.where(dn > TRAJ_NAVI_POINT_DIST, TRAJ_NAVI_POINT_DIST / jnp.maximum(dn, 1e-6), 1.0)
+        dirv = dirv * scale[..., None]
+        rv = rhs_vec(ego.heading)
+        in_h = (dirv * hv[:, None, :]).sum(-1)
+        in_r = (dirv * rv[:, None, :]).sum(-1)
+        wp = jnp.stack(
+            [clip01((in_h / TRAJ_NAVI_POINT_DIST + 1) / 2),
+             clip01((in_r / TRAJ_NAVI_POINT_DIST + 1) / 2)], axis=-1
+        ).reshape(E, (NUM_WAY_POINT - 1) * 2)
+        tail = jnp.stack(
+            [
+                clip01((lat / cfg["max_lateral_dist"] + 1) / 2),
+                clip01((wrap_to_pi(traj_heading - ego.heading) / jnp.pi + 1) / 2),
+            ],
+            axis=-1,
+        )
+        navi = jnp.concatenate([wp, tail, jnp.zeros((E, 2))], axis=-1)  # 22 dims
+
+        # --- lidar vs replayed bodies --------------------------------------
+        npc_pos, npc_heading, npc_active = self._npc_pose(state)
+        cloud = raycast.lidar_cloud(
+            ego.pos, ego.heading, vc["lidar"]["num_lasers"], vc["lidar"]["distance"],
+            npc_pos, npc_heading, scene.trk_len[sidx], scene.trk_wid[sidx], npc_active,
+        )
+        return jnp.concatenate([side, core, navi, cloud], axis=-1)
+
+    def _step_impl(self, state, actions):
+        cfg = self.config
+        scene = self.scene
+        E = self.num_envs
+        actions = jnp.clip(jnp.nan_to_num(actions, nan=0.0, posinf=1.0, neginf=-1.0), -1, 1)
+
+        ego = state.ego
+        ego = ego.replace(
+            last_pos=ego.pos, last_heading=ego.heading,
+            last_action=ego.current_action, current_action=actions,
+            steering=actions[:, 0], throttle=actions[:, 1],
+        )
+        pos, heading, speed, vel_dir = dynamics.step_vehicle(
+            ego.pos, ego.heading, ego.speed, ego.vel_dir, ego.steering, ego.throttle,
+            ego.params, dt=cfg["physics_world_step_size"], substeps=cfg["decision_repeat"],
+            enable_reverse=cfg["vehicle_config"]["enable_reverse"],
+        )
+        ego = ego.replace(pos=pos, heading=heading, speed=speed, vel_dir=vel_dir)
+
+        if cfg["reactive_traffic"]:
+            state = self._step_npc_reactive(state, ego)
+        state = state.replace(step_count=state.step_count + 1, ego=ego)
+
+        # trajectory localization
+        pts = scene.sdc_pts[state.sidx]
+        npts = scene.sdc_npts[state.sidx]
+        long, lat = polyline.local_coordinates(pts, npts, ego.pos)
+        traj_heading = polyline.heading_at(pts, npts, long)
+        total = polyline.total_length(pts, npts)
+        route_completion = long / jnp.maximum(total, 1e-3)
+        state = state.replace(last_long=state.cur_long, cur_long=long, cur_lat=lat)
+
+        # contacts
+        npc_pos, npc_heading, npc_active = self._npc_pose(state)
+        hits = collision.obb_obb_overlap(
+            ego.pos[:, None, :], ego.heading[:, None],
+            ego.params.length[:, None], ego.params.width[:, None],
+            npc_pos, npc_heading, scene.trk_len[state.sidx], scene.trk_wid[state.sidx],
+        ) & npc_active
+        is_ped = scene.trk_kind[state.sidx] != 0
+        crash_v = (hits & ~is_ped).any(axis=1)
+        crash_h = (hits & is_ped).any(axis=1)
+        seg_flags = collision.vehicle_segment_flags(
+            ego.pos, ego.heading, ego.params.length, ego.params.width,
+            scene.seg_p0[state.sidx], scene.seg_p1[state.sidx],
+            scene.seg_type[state.sidx], scene.seg_halfwidth[state.sidx],
+            scene.seg_valid[state.sidx],
+            (SEG_YELLOW_LINE, SEG_WHITE_LINE, SEG_SIDEWALK),
+        )
+        ego = ego.replace(
+            crash_vehicle=crash_v, crash_human=crash_h,
+            on_yellow_line=seg_flags[SEG_YELLOW_LINE],
+            on_white_line=seg_flags[SEG_WHITE_LINE],
+            crash_sidewalk=seg_flags[SEG_SIDEWALK],
+        )
+        state = state.replace(ego=ego)
+
+        # done (scenario_env.py:128-196)
+        arrive = (route_completion > 0.95) | (total < 2.0)
+        if cfg["relax_out_of_road_done"]:
+            out_of_road = jnp.abs(lat) > cfg["max_lateral_dist"]
+        else:
+            out_of_road = ego.crash_sidewalk | ego.on_yellow_line | ego.on_white_line
+        out_of_road = out_of_road | (route_completion < -0.1)
+        terminated = arrive | out_of_road
+        if cfg["crash_vehicle_done"]:
+            terminated = terminated | crash_v
+        if cfg["crash_human_done"]:
+            terminated = terminated | crash_h
+        horizon = cfg["horizon"]
+        scenario_over = state.step_count >= scene.scenario_len[state.sidx]
+        truncated = scenario_over
+        if horizon is not None:
+            truncated = truncated | (state.step_count >= horizon)
+        if cfg["truncate_as_terminate"]:
+            terminated = terminated | truncated
+
+        # reward (scenario_env.py:216-292)
+        reward = cfg["driving_reward"] * (long - state.last_long)
+        lateral_penalty = -jnp.abs(lat) / cfg["max_lateral_dist"] * cfg["lateral_penalty"]
+        heading_diff = jnp.abs(wrap_to_pi(ego.heading - traj_heading)) / jnp.pi
+        heading_penalty = -heading_diff * cfg["heading_penalty"]
+        allowed_steering = 1.0 / jnp.maximum(ego.speed, 1e-2)
+        overflow = jnp.minimum(allowed_steering - jnp.abs(actions[:, 0]), 0.0)
+        steering_penalty = overflow * cfg["steering_range_penalty"]
+        reward = reward + lateral_penalty + heading_penalty + steering_penalty
+        if cfg["no_negative_reward"]:
+            reward = jnp.maximum(reward, 0.0)
+        on_line = ego.on_yellow_line | ego.on_white_line | ego.crash_sidewalk
+        reward = jnp.where(crash_v, -cfg["crash_vehicle_penalty"], reward)
+        reward = jnp.where(crash_h, -cfg["crash_human_penalty"], reward)
+        reward = jnp.where(on_line, -cfg["on_lane_line_penalty"], reward)
+        step_reward = reward
+        reward = jnp.where(arrive, cfg["success_reward"], reward)
+        reward = jnp.where(~arrive & out_of_road, -cfg["out_of_road_penalty"], reward)
+
+        # cost (scenario_env.py:198-214; additive)
+        cost = (
+            jnp.where(out_of_road, cfg["out_of_road_cost"], 0.0)
+            + jnp.where(crash_v, cfg["crash_vehicle_cost"], 0.0)
+            + jnp.where(crash_h, cfg["crash_human_cost"], 0.0)
+        )
+
+        episode_reward = state.episode_reward + reward
+        episode_cost = state.episode_cost + cost
+        state = state.replace(episode_reward=episode_reward, episode_cost=episode_cost)
+
+        done = terminated | truncated
+        info = {
+            "arrive_dest": arrive, "out_of_road": out_of_road,
+            "crash_vehicle": crash_v, "crash_human": crash_h,
+            "crash": crash_v | crash_h | ego.crash_sidewalk,
+            "cost": cost, "total_cost": episode_cost, "step_reward": step_reward,
+            "route_completion": route_completion,
+            "velocity": ego.speed, "max_step": truncated,
+            "episode_reward": episode_reward, "episode_length": state.step_count,
+            "env_seed": state.sidx + cfg["start_scenario_index"],
+            TerminationState.SUCCESS: arrive,
+            TerminationState.OUT_OF_ROAD: out_of_road,
+            TerminationState.CRASH_VEHICLE: crash_v,
+            TerminationState.CRASH_HUMAN: crash_h,
+        }
+
+        if cfg["auto_reset"]:
+            new_keys = jax.vmap(jax.random.split)(state.rng)
+            step_rng, reset_rng = new_keys[:, 0], new_keys[:, 1]
+            if cfg["sequential_seed"]:
+                new_sidx = (state.sidx + 1) % self.num_scenarios
+            else:
+                new_sidx = jax.vmap(
+                    lambda k: jax.random.randint(k, (), 0, self.num_scenarios)
+                )(step_rng)
+            fresh = self._spawn(reset_rng, new_sidx)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    done.reshape(done.shape + (1,) * (old.ndim - 1)), new, old
+                ),
+                fresh, state.replace(rng=step_rng),
+            )
+
+        obs = self._observe(state)
+        return state, obs, reward, terminated, truncated, info

@@ -1,0 +1,138 @@
+"""ScenarioDescription -> replay scene arrays.
+
+The reference rebuilds a Panda3D/Bullet scene per scenario
+(ScenarioMapManager builds ScenarioMap from map_features,
+ScenarioTrafficManager spawns per-track objects each frame,
+manager/scenario_*.py). Here the whole dataset slice compiles once into
+fixed-size arrays: the sdc reference trajectory, every track's time series,
+and map boundary-line segments.
+"""
+import math
+
+import numpy as np
+
+from metadrive_ped_tpu.constants import SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE
+from metadrive_ped_tpu.core.scenario_structs import TRK_CYCLIST, TRK_PEDESTRIAN, TRK_VEHICLE
+from metadrive_ped_tpu.scenario.description import ScenarioDescription as SD
+
+_TYPE_TO_KIND = {
+    "VEHICLE": TRK_VEHICLE, "PEDESTRIAN": TRK_PEDESTRIAN, "CYCLIST": TRK_CYCLIST,
+}
+
+# map_features line type -> segment type (metadrive/type.py naming)
+def _line_seg_type(feature_type):
+    t = str(feature_type).upper()
+    if "YELLOW" in t:
+        return SEG_YELLOW_LINE
+    if "SOLID" in t:
+        return SEG_WHITE_LINE
+    if "ROAD_EDGE" in t or "BOUNDARY" in t:
+        return SEG_SIDEWALK
+    return None  # broken lines / lane surfaces are not contact geometry
+
+
+def compile_scenario(sd):
+    """One ScenarioDescription dict -> flat numpy arrays."""
+    T = int(sd[SD.LENGTH])
+    sdc_id = str(sd[SD.METADATA][SD.SDC_ID])
+    tracks = sd[SD.TRACKS]
+
+    sdc = tracks[sdc_id]
+    sdc_state = sdc[SD.STATE]
+    sdc_valid = np.asarray(sdc_state[SD.VALID], bool)
+    sdc_xy = np.asarray(sdc_state[SD.POSITION], np.float32)[:, :2]
+    pts = sdc_xy[sdc_valid]
+    if len(pts) < 2:
+        pts = np.concatenate([pts, pts + np.array([[0.1, 0.0]])], axis=0) if len(pts) else \
+            np.zeros((2, 2), np.float32)
+    # drop near-duplicate consecutive points (static frames)
+    keep = np.concatenate([[True], np.linalg.norm(np.diff(pts, axis=0), axis=1) > 0.05])
+    pts = pts[keep]
+    if len(pts) < 2:
+        pts = np.concatenate([pts, pts + np.array([[0.1, 0.0]])], axis=0)
+    first_valid = int(np.argmax(sdc_valid)) if sdc_valid.any() else 0
+    sdc_heading0 = float(np.asarray(sdc_state[SD.HEADING], np.float32)[first_valid])
+
+    trk_pos, trk_heading, trk_valid, trk_len, trk_wid, trk_kind = [], [], [], [], [], []
+    for tid, tr in tracks.items():
+        if tid == sdc_id:
+            continue
+        kind = _TYPE_TO_KIND.get(str(tr[SD.TYPE]).upper())
+        if kind is None:
+            continue
+        st = tr[SD.STATE]
+        pos = np.asarray(st[SD.POSITION], np.float32)[:T, :2]
+        heading = np.asarray(st[SD.HEADING], np.float32)[:T]
+        valid = np.asarray(st[SD.VALID], bool)[:T]
+        if not valid.any():
+            continue
+        length = float(np.asarray(st["length"]).reshape(-1)[0]) if "length" in st else 4.5
+        width = float(np.asarray(st["width"]).reshape(-1)[0]) if "width" in st else 1.8
+
+        def pad_t(a, fill=0):
+            if a.shape[0] >= T:
+                return a[:T]
+            return np.concatenate([a, np.full((T - a.shape[0],) + a.shape[1:], fill, a.dtype)])
+
+        trk_pos.append(pad_t(pos))
+        trk_heading.append(pad_t(heading))
+        trk_valid.append(pad_t(valid, False))
+        trk_len.append(length)
+        trk_wid.append(width)
+        trk_kind.append(kind)
+    TRK = len(trk_pos)
+
+    seg_p0, seg_p1, seg_type = [], [], []
+    for fid, feat in (sd.get(SD.MAP_FEATURES) or {}).items():
+        styp = _line_seg_type(feat.get("type", ""))
+        if styp is None:
+            continue
+        line = np.asarray(
+            feat.get("polyline", feat.get("polygon", [])), np.float32
+        )
+        if line.ndim != 2 or len(line) < 2:
+            continue
+        line = line[:, :2]
+        for a, b in zip(line[:-1], line[1:]):
+            seg_p0.append(a)
+            seg_p1.append(b)
+            seg_type.append(styp)
+    B = len(seg_p0)
+
+    return dict(
+        sdc_pts=pts.astype(np.float32), sdc_npts=np.int32(len(pts)),
+        trk_pos=np.asarray(trk_pos, np.float32).reshape(TRK, T, 2),
+        trk_heading=np.asarray(trk_heading, np.float32).reshape(TRK, T),
+        trk_valid=np.asarray(trk_valid, bool).reshape(TRK, T),
+        trk_len=np.asarray(trk_len, np.float32), trk_wid=np.asarray(trk_wid, np.float32),
+        trk_kind=np.asarray(trk_kind, np.int32),
+        scenario_len=np.int32(T),
+        seg_p0=np.asarray(seg_p0, np.float32).reshape(B, 2),
+        seg_p1=np.asarray(seg_p1, np.float32).reshape(B, 2),
+        seg_type=np.asarray(seg_type, np.int32),
+        seg_halfwidth=np.full(B, 0.075, np.float32),
+        seg_valid=np.ones(B, bool),
+        sdc_start_pos=pts[0], sdc_start_heading=np.float32(sdc_heading0),
+    )
+
+
+def build_scenario_pack(sds):
+    """Compile + stack with padding -> dict [S, ...]."""
+    from metadrive_ped_tpu.mapgen.scene import _pad_to_shape
+    scenes = [compile_scenario(sd) for sd in sds]
+    keys = scenes[0].keys()
+    max_shape = {}
+    for k in keys:
+        arrs = [np.asarray(sc[k]) for sc in scenes]
+        if arrs[0].ndim > 0:
+            max_shape[k] = tuple(
+                max(max(a.shape[d] for a in arrs), 1) for d in range(arrs[0].ndim)
+            )
+    pack = {}
+    for k in keys:
+        arrs = [np.asarray(sc[k]) for sc in scenes]
+        if arrs[0].ndim == 0:
+            pack[k] = np.stack(arrs)
+        else:
+            pack[k] = np.stack([_pad_to_shape(a, max_shape[k]) for a in arrs])
+    return pack

@@ -1,0 +1,101 @@
+"""Batched polyline (PointLane) geometry.
+
+The reference's PointLane (component/lane/point_lane.py via
+utils/interpolating_line.py) parametrizes recorded trajectories/scenario
+lanes by arc length. Here a polyline is a fixed-size point array
+[P, 2] with a valid count; all queries are nearest-segment projections,
+vectorized over arbitrary batch axes.
+"""
+import jax.numpy as jnp
+
+
+def arc_lengths(pts, npts):
+    """Cumulative arc length [.., P]; entries past npts hold the total."""
+    d = jnp.sqrt(((pts[..., 1:, :] - pts[..., :-1, :]) ** 2).sum(-1))  # [..,P-1]
+    P = pts.shape[-2]
+    idx = jnp.arange(P - 1)
+    valid = idx < (npts[..., None] - 1)
+    d = jnp.where(valid, d, 0.0)
+    s = jnp.concatenate([jnp.zeros_like(d[..., :1]), jnp.cumsum(d, axis=-1)], axis=-1)
+    return s
+
+
+def local_coordinates(pts, npts, pos):
+    """(long, lat) of pos on the polyline; pts [..,P,2], pos [..,2].
+
+    lat sign follows the lane convention: positive to the RIGHT of travel.
+    """
+    a = pts[..., :-1, :]
+    b = pts[..., 1:, :]
+    seg = b - a
+    seg_len2 = (seg ** 2).sum(-1)
+    idxs = jnp.arange(pts.shape[-2] - 1)
+    valid = idxs < (npts[..., None] - 1)
+    rel = pos[..., None, :] - a
+    t = jnp.clip((rel * seg).sum(-1) / jnp.maximum(seg_len2, 1e-9), 0.0, 1.0)
+    proj = a + t[..., None] * seg
+    d2 = ((pos[..., None, :] - proj) ** 2).sum(-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=-1)
+
+    s = arc_lengths(pts, npts)
+    take = lambda arr: jnp.take_along_axis(arr, best[..., None], axis=-1)[..., 0]
+    t_b = take(t)
+    seg_b = jnp.take_along_axis(seg, best[..., None, None], axis=-2)[..., 0, :]
+    a_b = jnp.take_along_axis(a, best[..., None, None], axis=-2)[..., 0, :]
+    s_b = take(s[..., :-1])
+    seg_len = jnp.sqrt(jnp.maximum((seg_b ** 2).sum(-1), 1e-12))
+    long = s_b + t_b * seg_len
+    rel_b = pos - a_b
+    # right-hand lateral: cross(seg_dir, rel) < 0 means left -> lat negative
+    cross = seg_b[..., 0] * rel_b[..., 1] - seg_b[..., 1] * rel_b[..., 0]
+    perp = jnp.sqrt(jnp.maximum((rel_b ** 2).sum(-1) - (t_b * seg_len) ** 2, 0.0))
+    lat = jnp.where(cross > 0, -perp, perp)
+    return long, lat
+
+
+def position(pts, npts, long, lat=None):
+    """World position at arc length `long` (+ optional right-lateral)."""
+    s = arc_lengths(pts, npts)
+    P = pts.shape[-2]
+    seg_start = s[..., :-1]
+    idxs = jnp.arange(P - 1)
+    valid = idxs < (npts[..., None] - 1)
+    # segment containing `long`: the last valid segment whose start <= long
+    le = (seg_start <= long[..., None]) & valid
+    best = jnp.maximum(
+        jnp.where(le, idxs, -1).max(axis=-1), 0
+    )
+    take2 = lambda arr: jnp.take_along_axis(arr, best[..., None, None], axis=-2)[..., 0, :]
+    a = take2(pts[..., :-1, :])
+    b = take2(pts[..., 1:, :])
+    s_b = jnp.take_along_axis(seg_start, best[..., None], axis=-1)[..., 0]
+    seg = b - a
+    seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))
+    t = jnp.clip((long - s_b) / seg_len, 0.0, None)
+    p = a + t[..., None] * seg
+    if lat is not None:
+        dirv = seg / seg_len[..., None]
+        rhs = jnp.stack([dirv[..., 1], -dirv[..., 0]], axis=-1)
+        p = p + lat[..., None] * rhs
+    return p
+
+
+def heading_at(pts, npts, long):
+    """Heading (radians) of the segment containing `long`."""
+    s = arc_lengths(pts, npts)
+    P = pts.shape[-2]
+    seg_start = s[..., :-1]
+    idxs = jnp.arange(P - 1)
+    valid = idxs < (npts[..., None] - 1)
+    le = (seg_start <= long[..., None]) & valid
+    best = jnp.maximum(jnp.where(le, idxs, -1).max(axis=-1), 0)
+    take2 = lambda arr: jnp.take_along_axis(arr, best[..., None, None], axis=-2)[..., 0, :]
+    a = take2(pts[..., :-1, :])
+    b = take2(pts[..., 1:, :])
+    return jnp.arctan2(b[..., 1] - a[..., 1], b[..., 0] - a[..., 0])
+
+
+def total_length(pts, npts):
+    s = arc_lengths(pts, npts)
+    return s[..., -1]

@@ -53,3 +53,38 @@ def lidar_cloud(ego_pos, ego_heading, num_rays, max_dist,
     return ray_obb_fraction(
         ego_pos, angles, max_dist, npc_pos, npc_heading, npc_len, npc_wid, npc_active
     )
+
+
+def ray_segment_fraction(origin, angles, max_dist, p0, p1, valid):
+    """Min hit fraction of rays against 2D segments (the side/lane-line
+    detectors' rayTestClosest vs lane-line ghosts,
+    distance_detector.py:27-85 + SideDetector :194).
+
+    origin [E,2]; angles [E,R]; p0/p1 [E,B,2]; valid [E,B] -> [E,R].
+    """
+    dx = jnp.cos(angles)[:, :, None]  # [E,R,1]
+    dy = jnp.sin(angles)[:, :, None]
+    ax = p0[..., 0][:, None, :]       # [E,1,B]
+    ay = p0[..., 1][:, None, :]
+    sx = (p1[..., 0] - p0[..., 0])[:, None, :]
+    sy = (p1[..., 1] - p0[..., 1])[:, None, :]
+    ox = origin[:, 0][:, None, None]
+    oy = origin[:, 1][:, None, None]
+    # solve o + t*d = a + u*s
+    denom = dx * sy - dy * sx
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    rel_x = ax - ox
+    rel_y = ay - oy
+    t = (rel_x * sy - rel_y * sx) / denom
+    u = (rel_x * dy - rel_y * dx) / denom
+    hit = (t >= 0) & (u >= 0) & (u <= 1) & valid[:, None, :]
+    frac = jnp.where(hit, jnp.clip(t / max_dist, 0.0, 1.0), 1.0)
+    return frac.min(axis=2)
+
+
+def side_detector_cloud(ego_pos, ego_heading, num_rays, max_dist, p0, p1, valid):
+    """SideDetector: rays offset 90 deg fanned over the circle
+    (distance_detector.py:118-160 side variant)."""
+    i = jnp.arange(num_rays, dtype=jnp.float32)
+    angles = ego_heading[:, None] + jnp.pi / 2 + (2.0 * jnp.pi / num_rays) * i[None, :]
+    return ray_segment_fraction(ego_pos, angles, max_dist, p0, p1, valid)

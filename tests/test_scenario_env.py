@@ -1,0 +1,97 @@
+"""ScenarioEnv replay: the record -> export -> replay round trip
+(reference: tests/test_export_record_scenario/ + envs/scenario_env.py)."""
+import numpy as np
+import pytest
+
+from metadrive_ped_tpu import MetaDriveEnv
+from metadrive_ped_tpu.envs.scenario_env import ScenarioEnv
+from metadrive_ped_tpu.scenario import export_scenarios
+from metadrive_ped_tpu.scenario.utils import load_scenarios, save_dataset
+
+
+@pytest.fixture(scope="module")
+def recorded_scenarios():
+    # respawn-mode traffic spawns NPCs on the spawn road too, so replayed
+    # tracks start within the ego's lidar range
+    env = MetaDriveEnv(dict(num_envs=4, map="CS", num_scenarios=2, traffic_density=0.5,
+                            traffic_mode="respawn"))
+    env.reset(seed=0)
+    acts = np.tile([0.0, 0.7], (4, 1)).astype(np.float32)
+    return list(export_scenarios(env, 40, actions=acts).values())
+
+
+def test_dataset_save_load_roundtrip(tmp_path_factory, recorded_scenarios):
+    d = tmp_path_factory.mktemp("dataset")
+    save_dataset(recorded_scenarios, str(d))
+    loaded = load_scenarios(str(d))
+    assert len(loaded) == len(recorded_scenarios)
+    sd0, sd1 = recorded_scenarios[0], loaded[0]
+    np.testing.assert_allclose(
+        np.asarray(sd0["tracks"]["sdc"]["state"]["position"]),
+        np.asarray(sd1["tracks"]["sdc"]["state"]["position"]),
+    )
+
+
+def test_worker_striding(tmp_path_factory, recorded_scenarios):
+    d = tmp_path_factory.mktemp("dataset2")
+    save_dataset(recorded_scenarios, str(d))
+    w0 = load_scenarios(str(d), worker_index=0, num_workers=2)
+    w1 = load_scenarios(str(d), worker_index=1, num_workers=2)
+    assert len(w0) + len(w1) == len(recorded_scenarios)
+    assert {sd["id"] for sd in w0}.isdisjoint({sd["id"] for sd in w1})
+
+
+def test_scenario_env_replay_runs(recorded_scenarios):
+    env = ScenarioEnv(dict(num_envs=4, scenario_data=recorded_scenarios))
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (4, 161)  # 12 side + 7 core + 22 navi + 120 lidar
+    for i in range(30):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 0.7], (4, 1)))
+    assert bool(np.isfinite(np.asarray(obs)).all())
+    rc = np.asarray(inf["route_completion"])
+    assert (rc > 0.05).any(), "driving forward should progress route completion"
+
+
+def test_scenario_env_idle_ego_fails_route(recorded_scenarios):
+    env = ScenarioEnv(dict(num_envs=2, scenario_data=recorded_scenarios, auto_reset=False))
+    env.reset(seed=1)
+    for i in range(20):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, -1.0], (2, 1)))
+    assert float(np.asarray(inf["route_completion"]).max()) < 0.2
+
+
+def test_scenario_env_replayed_traffic_visible(recorded_scenarios):
+    # the recorded PG episodes include NPC traffic; lidar should see them
+    env = ScenarioEnv(dict(num_envs=4, scenario_data=recorded_scenarios))
+    obs, _ = env.reset(seed=0)
+    seen = False
+    for i in range(25):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 0.7], (4, 1)))
+        if (np.asarray(obs)[:, -120:] < 0.99).any():
+            seen = True
+            break
+    assert seen, "replayed tracks should appear in the lidar"
+
+
+def test_scenario_env_reactive_traffic_runs(recorded_scenarios):
+    env = ScenarioEnv(
+        dict(num_envs=2, scenario_data=recorded_scenarios, reactive_traffic=True)
+    )
+    env.reset(seed=0)
+    for i in range(20):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 0.5], (2, 1)))
+    assert bool(np.isfinite(np.asarray(obs)).all())
+    # reactive vehicles accumulate arc progress
+    assert float(np.asarray(env._state.npc_long).max()) > 0.0
+
+
+def test_scenario_env_truncates_at_scenario_end(recorded_scenarios):
+    env = ScenarioEnv(dict(num_envs=2, scenario_data=recorded_scenarios, auto_reset=False))
+    env.reset(seed=0)
+    truncated_seen = False
+    for i in range(45):  # recorded length = 40
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 0.0], (2, 1)))
+        if bool(np.asarray(tr).all()):
+            truncated_seen = True
+            break
+    assert truncated_seen
