@@ -23,6 +23,9 @@ class ScenarioScene:
 
     sdc_pts: jnp.ndarray       # [S, PT, 2] ego reference trajectory
     sdc_npts: jnp.ndarray      # [S]
+    sdc_track_pos: jnp.ndarray      # [S, T, 2] recorded ego time series
+    sdc_track_heading: jnp.ndarray  # [S, T]
+    sdc_track_valid: jnp.ndarray    # [S, T]
     trk_pos: jnp.ndarray       # [S, TRK, T, 2]
     trk_heading: jnp.ndarray   # [S, TRK, T]
     trk_valid: jnp.ndarray     # [S, TRK, T]

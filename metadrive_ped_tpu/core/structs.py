@@ -161,7 +161,11 @@ class EgoState:
     on_yellow_line: jnp.ndarray  # [E] bool
     on_white_line: jnp.ndarray   # [E] bool
     out_of_route: jnp.ndarray    # [E] bool
+    past_pos: jnp.ndarray        # [E, PAST_POS_STEPS, 2] ego position history
     params: VehicleParams        # [E] fields
+
+
+PAST_POS_STEPS = 10
 
 
 @struct.dataclass

@@ -26,7 +26,7 @@ from metadrive_ped_tpu.constants import (
     VEHICLE_CLASS_ORDER, VEHICLE_CLASSES,
 )
 from metadrive_ped_tpu.core.structs import (
-    EgoState, NpcState, PedState, Scene, SimState, VehicleParams
+    PAST_POS_STEPS, EgoState, NpcState, PedState, Scene, SimState, VehicleParams
 )
 from metadrive_ped_tpu.mapgen.scene import build_scene_pack
 from metadrive_ped_tpu.obs import state_obs
@@ -146,6 +146,7 @@ class BaseVectorEnv:
             ),
         )
         self.scene = Scene.from_pack(pack)
+        self._pack = pack  # host-side arrays (texture baking, debugging)
         self.num_envs = cfg["num_envs"]
         self._state = None
         self._step_jit = jax.jit(functools.partial(self._step_impl), donate_argnums=0)
@@ -286,6 +287,7 @@ class BaseVectorEnv:
             crash_human=jnp.zeros(E, bool), crash_sidewalk=jnp.zeros(E, bool),
             on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
             out_of_route=jnp.zeros(E, bool),
+            past_pos=jnp.tile(pos[:, None, :], (1, PAST_POS_STEPS, 1)),
             params=self._ego_params(rng, E),
         )
         npc_lane = scene.npc_lane[sidx]              # [E,N]
@@ -424,6 +426,7 @@ class BaseVectorEnv:
             last_pos=ego.pos, last_heading=ego.heading,
             last_action=ego.current_action, current_action=actions,
             steering=actions[:, 0], throttle=actions[:, 1],
+            past_pos=jnp.concatenate([ego.past_pos[:, 1:], ego.pos[:, None]], axis=1),
         )
 
         # ego dynamics (decision_repeat substeps)

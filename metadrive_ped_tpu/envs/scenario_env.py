@@ -26,7 +26,7 @@ from metadrive_ped_tpu.constants import (
 from metadrive_ped_tpu.core.scenario_structs import (
     ScenarioScene, ScenarioSimState, TRK_PEDESTRIAN
 )
-from metadrive_ped_tpu.core.structs import EgoState
+from metadrive_ped_tpu.core.structs import PAST_POS_STEPS, EgoState
 from metadrive_ped_tpu.envs.base import DEFAULT_CLASS_IDX, make_vehicle_params
 from metadrive_ped_tpu.mapgen.scenario_scene import build_scenario_pack
 from metadrive_ped_tpu.ops import collision, dynamics, polyline, raycast
@@ -56,6 +56,7 @@ class ScenarioEnv:
                 num_workers=1,
                 no_traffic=False,
                 reactive_traffic=False,
+                replay_ego=False,  # ReplayEgoCarPolicy (policy/replay_policy.py:70)
                 even_sample_vehicle_class=True,
                 horizon=None,
                 truncate_as_terminate=False,
@@ -155,6 +156,7 @@ class ScenarioEnv:
             crash_human=jnp.zeros(E, bool), crash_sidewalk=jnp.zeros(E, bool),
             on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
             out_of_route=jnp.zeros(E, bool),
+            past_pos=jnp.tile(pos[:, None, :], (1, PAST_POS_STEPS, 1)),
             params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
         )
         TRK = scene.max_tracks
@@ -326,12 +328,21 @@ class ScenarioEnv:
             last_pos=ego.pos, last_heading=ego.heading,
             last_action=ego.current_action, current_action=actions,
             steering=actions[:, 0], throttle=actions[:, 1],
+            past_pos=jnp.concatenate([ego.past_pos[:, 1:], ego.pos[:, None]], axis=1),
         )
-        pos, heading, speed, vel_dir = dynamics.step_vehicle(
-            ego.pos, ego.heading, ego.speed, ego.vel_dir, ego.steering, ego.throttle,
-            ego.params, dt=cfg["physics_world_step_size"], substeps=cfg["decision_repeat"],
-            enable_reverse=cfg["vehicle_config"]["enable_reverse"],
-        )
+        if cfg["replay_ego"]:
+            # force-set the recorded sdc state (ReplayEgoCarPolicy semantics)
+            t = jnp.clip(state.step_count + 1, 0, scene.sdc_track_pos.shape[1] - 1)
+            pos = scene.sdc_track_pos[state.sidx, t]
+            heading = scene.sdc_track_heading[state.sidx, t]
+            speed = jnp.sqrt(((pos - ego.pos) ** 2).sum(-1)) / 0.1
+            vel_dir = jnp.zeros_like(speed)
+        else:
+            pos, heading, speed, vel_dir = dynamics.step_vehicle(
+                ego.pos, ego.heading, ego.speed, ego.vel_dir, ego.steering, ego.throttle,
+                ego.params, dt=cfg["physics_world_step_size"], substeps=cfg["decision_repeat"],
+                enable_reverse=cfg["vehicle_config"]["enable_reverse"],
+            )
         ego = ego.replace(pos=pos, heading=heading, speed=speed, vel_dir=vel_dir)
 
         if cfg["reactive_traffic"]:

@@ -99,8 +99,16 @@ def compile_scenario(sd):
             seg_type.append(styp)
     B = len(seg_p0)
 
+    def pad_t_sdc(a, fill=0):
+        if a.shape[0] >= T:
+            return a[:T]
+        return np.concatenate([a, np.full((T - a.shape[0],) + a.shape[1:], fill, a.dtype)])
+
     return dict(
         sdc_pts=pts.astype(np.float32), sdc_npts=np.int32(len(pts)),
+        sdc_track_pos=pad_t_sdc(sdc_xy).astype(np.float32),
+        sdc_track_heading=pad_t_sdc(np.asarray(sdc_state[SD.HEADING], np.float32)),
+        sdc_track_valid=pad_t_sdc(sdc_valid, False),
         trk_pos=np.asarray(trk_pos, np.float32).reshape(TRK, T, 2),
         trk_heading=np.asarray(trk_heading, np.float32).reshape(TRK, T),
         trk_valid=np.asarray(trk_valid, bool).reshape(TRK, T),
