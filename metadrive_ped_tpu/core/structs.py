@@ -181,6 +181,7 @@ class NpcState:
     heading_pid_e: jnp.ndarray  # [E,N] PID previous error
     lateral_pid_i: jnp.ndarray  # [E,N]
     lateral_pid_e: jnp.ndarray  # [E,N]
+    overtake_timer: jnp.ndarray  # [E,N] steps since last lane change
     params: VehicleParams       # [E,N] fields
 
 

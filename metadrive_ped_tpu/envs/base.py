@@ -303,6 +303,9 @@ class BaseVectorEnv:
             lane=npc_lane, active=active,
             released=active if respawn_mode else jnp.zeros_like(active),
             heading_pid_i=nz, heading_pid_e=nz, lateral_pid_i=nz, lateral_pid_e=nz,
+            # staggered overtake timers (reference seeds them randomly,
+            # idm_policy.py:231)
+            overtake_timer=jnp.tile((jnp.arange(npc_lane.shape[1]) * 17) % 50, (E, 1)),
             params=make_vehicle_params(scene.npc_class[sidx]),
         )
         ped = PedState(
@@ -454,7 +457,10 @@ class BaseVectorEnv:
         trig = scene.npc_trigger_road[state.sidx]  # [E,N]
         released = npc.released | (trig == cur_road[:, None])
         npc = npc.replace(released=released)
-        npc = idm.step_npcs(scene, state.sidx, npc, ego, dt=dt, substeps=rep)
+        npc = idm.step_npcs(
+            scene, state.sidx, npc, ego, dt=dt, substeps=rep,
+            respawn_mode=cfg["traffic_mode"] == "respawn",
+        )
 
         # pedestrians / cyclists advance kinematically
         ped = participants.step_peds(scene, state.sidx, state.ped, dt * rep)

@@ -11,8 +11,12 @@ with batched kernels over the NPC slot axis [E, N]:
 - lateral control: heading PID + lateral PID onto the target lane
   (idm_policy.py:293-301; PID form PID_controller.py:10-21).
 
-Lane changing (lane_change_policy) is not yet ported — NPCs lane-follow.
-Front-gap search is exact on the target lane over all other vehicles
+- overtake lane changes: the reference's speed-motivated change with
+  left-priority and front/back safety margins (lane_change_policy,
+  idm_policy.py:330-402), driven by a staggered overtake timer.
+- respawn mode recycles arrived NPCs back onto their spawn slot when clear
+  (traffic_manager.py:94-122).
+Front/back gap search projects every other vehicle onto the candidate lane
 (reference scans lidar-detected neighbors; FrontBackObjects,
 idm_policy.py:10-174).
 """
@@ -29,6 +33,10 @@ DELTA = 10.0
 DISTANCE_WANTED = 10.0
 TIME_WANTED = 1.5
 MAX_LONG_DIST = 30.0
+LANE_CHANGE_FREQ = 50            # idm_policy.py:208
+LANE_CHANGE_SPEED_INCREASE = 10  # km/h
+SAFE_LANE_CHANGE_DISTANCE = 15.0
+MAX_SPEED = 100.0                # km/h, free-lane optimistic speed
 # PID gains (idm_policy.py:233-234)
 HEADING_PID = (1.7, 0.01, 3.5)
 LATERAL_PID = (0.3, 0.002, 0.05)
@@ -55,42 +63,85 @@ def idm_acceleration(speed_kmh, front_speed_kmh, front_dist, has_front):
     return acc
 
 
-def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5):
-    """One env-step of all NPCs: policy + dynamics + route bookkeeping."""
+def _lane_gaps(scene, sidx, lanes, npc_pos, npc_len,
+               cand_pos, cand_speed, cand_len, cand_active, not_self):
+    """Front/back gap search projected on `lanes` [E,N] (FrontBackObjects,
+    idm_policy.py:10-174). Returns (front_gap, front_speed, back_gap)."""
+    g = lane_geom.gather_lane(scene, sidx[:, None], lanes)
+    long_self, _ = lane_geom.local_coordinates(g, npc_pos)
+    g_b = {k: (v[:, :, None] if v.ndim == 2 else v[:, :, None, :]) for k, v in g.items()}
+    long_c, lat_c = lane_geom.local_coordinates(g_b, cand_pos[:, None, :, :])  # [E,N,C]
+    on_lane = jnp.abs(lat_c) < (g["width"][:, :, None] / 2)
+    exists = (lanes >= 0)[:, :, None]
+    base_valid = on_lane & cand_active[:, None, :] & not_self & exists
+    gap_sizes = (cand_len[:, None, :] + npc_len[:, :, None]) / 2
+
+    ahead = long_c > long_self[:, :, None]
+    fgap = long_c - long_self[:, :, None] - gap_sizes
+    fgap = jnp.where(base_valid & ahead & (fgap < MAX_LONG_DIST), fgap, jnp.inf)
+    fidx = jnp.argmin(fgap, axis=2)
+    front_gap = jnp.take_along_axis(fgap, fidx[..., None], axis=2)[..., 0]
+    front_speed = jnp.take_along_axis(cand_speed[:, None, :], fidx[..., None], axis=2)[..., 0]
+
+    bgap = long_self[:, :, None] - long_c - gap_sizes
+    bgap = jnp.where(base_valid & ~ahead & (bgap < MAX_LONG_DIST), bgap, jnp.inf)
+    back_gap = bgap.min(axis=2)
+    return front_gap, front_speed, back_gap
+
+
+def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False):
+    """One env-step of all NPCs: IDM + lane change + dynamics + routing."""
     E, N = npc.lane.shape
+    cand_pos = jnp.concatenate([npc.pos, ego.pos[:, None, :]], axis=1)      # [E,N+1,2]
+    cand_speed = jnp.concatenate([npc.speed, ego.speed[:, None]], axis=1)
+    cand_len = jnp.concatenate([npc.params.length, ego.params.length[:, None]], axis=1)
+    cand_active = jnp.concatenate([npc.active, jnp.ones((E, 1), bool)], axis=1)
+    not_self = ~jnp.eye(N, N + 1, dtype=bool)[None]
+
     g = lane_geom.gather_lane(scene, sidx[:, None], npc.lane)
     long_self, lat_self = lane_geom.local_coordinates(g, npc.pos)
 
-    # --- front-gap search on the target lane over NPCs + ego --------------
-    # positions of all candidate vehicles projected onto EACH npc's lane:
-    # candidates = all npcs [E,1,N,2] + ego [E,1,1,2] vs lanes [E,N]
-    cand_pos = jnp.concatenate([npc.pos, ego.pos[:, None, :]], axis=1)      # [E,N+1,2]
-    cand_speed = jnp.concatenate([npc.speed, ego.speed[:, None]], axis=1)   # [E,N+1]
-    cand_len = jnp.concatenate([npc.params.length, ego.params.length[:, None]], axis=1)
-    cand_active = jnp.concatenate([npc.active, jnp.ones((E, 1), bool)], axis=1)
+    gaps = lambda lanes: _lane_gaps(
+        scene, sidx, lanes, npc.pos, npc.params.length,
+        cand_pos, cand_speed, cand_len, cand_active, not_self,
+    )
+    front_gap, front_speed, _ = gaps(npc.lane)
+    l_front, l_front_speed, l_back = gaps(g["left"])
+    r_front, r_front_speed, r_back = gaps(g["right"])
 
-    g_b = {k: v[:, :, None] if v.ndim == 2 else v[:, :, None, :] for k, v in g.items()}
-    long_c, lat_c = lane_geom.local_coordinates(g_b, cand_pos[:, None, :, :])  # [E,N,N+1]
-    on_my_lane = jnp.abs(lat_c) < (g["width"][:, :, None] / 2)
-    ahead = long_c > long_self[:, :, None]
-    not_self = ~jnp.eye(N, N + 1, dtype=bool)[None]
-    valid = on_my_lane & ahead & cand_active[:, None, :] & not_self
-    gap = long_c - long_self[:, :, None] - (cand_len[:, None, :] + npc.params.length[:, :, None]) / 2
-    gap = jnp.where(valid & (gap < MAX_LONG_DIST), gap, jnp.inf)
-    front_idx = jnp.argmin(gap, axis=2)
-    front_dist = jnp.take_along_axis(gap, front_idx[..., None], axis=2)[..., 0]
-    has_front = jnp.isfinite(front_dist)
-    front_speed = jnp.take_along_axis(cand_speed[:, None, :], front_idx[..., None], axis=2)[..., 0]
+    # --- overtake lane change (idm_policy.py:344-369) ---------------------
+    v_kmh = npc.speed * 3.6
+    has_front = jnp.isfinite(front_gap)
+    front_kmh = jnp.where(has_front, front_speed * 3.6, MAX_SPEED)
+    deviate = (
+        (jnp.abs(v_kmh - NORMAL_SPEED) > 3.0)
+        & has_front & (jnp.abs(front_kmh - NORMAL_SPEED) > 3.0)
+        & (npc.overtake_timer > LANE_CHANGE_FREQ)
+    )
+    l_safe = (g["left"] >= 0) & (l_front > SAFE_LANE_CHANGE_DISTANCE) & (l_back > SAFE_LANE_CHANGE_DISTANCE)
+    r_safe = (g["right"] >= 0) & (r_front > SAFE_LANE_CHANGE_DISTANCE) & (r_back > SAFE_LANE_CHANGE_DISTANCE)
+    l_kmh = jnp.where(jnp.isfinite(l_front), l_front_speed * 3.6, MAX_SPEED)
+    r_kmh = jnp.where(jnp.isfinite(r_front), r_front_speed * 3.6, MAX_SPEED)
+    go_left = deviate & l_safe & (l_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE)
+    go_right = deviate & ~go_left & r_safe & (r_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE)
+    target = jnp.where(go_left, g["left"], jnp.where(go_right, g["right"], npc.lane))
+    changed = go_left | go_right
+    overtake_timer = jnp.where(changed, 0, npc.overtake_timer + 1)
+    acc_gap = jnp.where(go_left, l_front, jnp.where(go_right, r_front, front_gap))
+    acc_front_speed = jnp.where(go_left, l_front_speed, jnp.where(go_right, r_front_speed, front_speed))
+    acc_has_front = jnp.isfinite(acc_gap)
 
     acc = idm_acceleration(
-        npc.speed * 3.6, front_speed * 3.6, jnp.where(has_front, front_dist, 1e6), has_front
+        v_kmh, acc_front_speed * 3.6, jnp.where(acc_has_front, acc_gap, 1e6), acc_has_front
     )
 
-    # --- steering PID (idm_policy.py:293-301) -----------------------------
-    lane_heading = lane_geom.heading_theta_at(g, long_self + 1.0)
+    # --- steering PID toward the (possibly new) target lane ----------------
+    gt = lane_geom.gather_lane(scene, sidx[:, None], target)
+    t_long, t_lat = lane_geom.local_coordinates(gt, npc.pos)
+    lane_heading = lane_geom.heading_theta_at(gt, t_long + 1.0)
     herr = -wrap_to_pi(lane_heading - npc.heading)
     steer_h, h_i, h_e = _pid(HEADING_PID, herr, npc.heading_pid_i, npc.heading_pid_e)
-    steer_l, l_i, l_e = _pid(LATERAL_PID, -lat_self, npc.lateral_pid_i, npc.lateral_pid_e)
+    steer_l, l_i, l_e = _pid(LATERAL_PID, -t_lat, npc.lateral_pid_i, npc.lateral_pid_e)
     steering = steer_h + steer_l
 
     moving = npc.active & npc.released
@@ -111,17 +162,36 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5):
     vel_dir = keep(vel_dir, npc.vel_dir)
 
     # --- route advance / arrival (traffic_manager.py:94-122) --------------
-    # (lane params unchanged within the step: reuse g for the moved position)
-    long2, _ = lane_geom.local_coordinates(g, pos)
-    passed = long2 > g["length"]
-    succ = g["succ"]
-    new_lane = jnp.where(passed & (succ >= 0), succ, npc.lane)
-    deactivate = passed & (succ < 0) & moving
-    active = npc.active & ~deactivate
+    g2 = lane_geom.gather_lane(scene, sidx[:, None], target)
+    long2, _ = lane_geom.local_coordinates(g2, pos)
+    passed = long2 > g2["length"]
+    succ = g2["succ"]
+    new_lane = jnp.where(passed & (succ >= 0), succ, target)
+    at_end = passed & (succ < 0) & moving
+
+    if respawn_mode:
+        # Respawn at the original spawn slot when it is clear
+        # (traffic_manager.py:94-122 _create_respawn_vehicles recycling)
+        spawn_lane = scene.npc_lane[sidx]
+        gs = lane_geom.gather_lane(scene, sidx[:, None], spawn_lane)
+        spawn_pos = lane_geom.position(gs, scene.npc_long[sidx], jnp.zeros((E, N)))
+        d2 = ((spawn_pos[:, :, None, :] - cand_pos[:, None, :, :]) ** 2).sum(-1)
+        clear = (jnp.where(cand_active[:, None, :], d2, jnp.inf).min(axis=2) > 8.0 ** 2)
+        do = at_end & clear
+        keep_dead = at_end & ~clear
+        pos = jnp.where(do[..., None], spawn_pos, pos)
+        heading = jnp.where(do, lane_geom.heading_theta_at(gs, scene.npc_long[sidx]), heading)
+        speed = jnp.where(do, 0.0, speed)
+        vel_dir = jnp.where(do, 0.0, vel_dir)
+        new_lane = jnp.where(do, spawn_lane, new_lane)
+        active = npc.active & ~keep_dead
+        overtake_timer = jnp.where(do, 0, overtake_timer)
+    else:
+        active = npc.active & ~at_end
 
     return npc.replace(
         pos=pos, heading=heading, speed=speed, vel_dir=vel_dir,
-        lane=new_lane, active=active,
+        lane=new_lane, active=active, overtake_timer=overtake_timer,
         heading_pid_i=jnp.where(moving, h_i, npc.heading_pid_i),
         heading_pid_e=jnp.where(moving, h_e, npc.heading_pid_e),
         lateral_pid_i=jnp.where(moving, l_i, npc.lateral_pid_i),
