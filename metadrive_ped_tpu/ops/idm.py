@@ -79,9 +79,15 @@ def _lane_gaps(scene, sidx, lanes, npc_pos, npc_len,
     ahead = long_c > long_self[:, :, None]
     fgap = long_c - long_self[:, :, None] - gap_sizes
     fgap = jnp.where(base_valid & ahead & (fgap < MAX_LONG_DIST), fgap, jnp.inf)
-    fidx = jnp.argmin(fgap, axis=2)
-    front_gap = jnp.take_along_axis(fgap, fidx[..., None], axis=2)[..., 0]
-    front_speed = jnp.take_along_axis(cand_speed[:, None, :], fidx[..., None], axis=2)[..., 0]
+    # plain min-reduce + where-select instead of argmin/take_along_axis —
+    # TPU lowers the latter to serialized iota-reduce + scalar gathers,
+    # which profiling showed dominating the whole step
+    front_gap = fgap.min(axis=2)
+    is_front = (fgap == front_gap[..., None]) & jnp.isfinite(fgap)
+    front_speed = jnp.max(
+        jnp.where(is_front, cand_speed[:, None, :], -jnp.inf), axis=2
+    )
+    front_speed = jnp.where(jnp.isfinite(front_speed), front_speed, 0.0)
 
     bgap = long_self[:, :, None] - long_c - gap_sizes
     bgap = jnp.where(base_valid & ~ahead & (bgap < MAX_LONG_DIST), bgap, jnp.inf)
