@@ -38,6 +38,9 @@ class ScenarioScene:
     seg_type: jnp.ndarray
     seg_halfwidth: jnp.ndarray
     seg_valid: jnp.ndarray
+    light_pos: jnp.ndarray      # [S, LG, 2] stop points
+    light_status: jnp.ndarray   # [S, LG, T] 0 unknown / 1 green / 2 yellow / 3 red
+    light_valid: jnp.ndarray    # [S, LG]
     sdc_start_pos: jnp.ndarray     # [S,2]
     sdc_start_heading: jnp.ndarray  # [S]
 

@@ -375,6 +375,18 @@ class ScenarioEnv:
             scene.seg_valid[state.sidx],
             (SEG_YELLOW_LINE, SEG_WHITE_LINE, SEG_SIDEWALK),
         )
+        # traffic light ahead (BaseTrafficLight contact,
+        # base_vehicle.py:720-733): red/yellow within the stop region
+        lp = scene.light_pos[state.sidx]                    # [E,LG,2]
+        lt = jnp.clip(state.step_count, 0, scene.light_status.shape[2] - 1)
+        lstat = jnp.take_along_axis(
+            scene.light_status[state.sidx], lt[:, None, None], axis=2
+        )[:, :, 0]                                           # [E,LG]
+        ldist = jnp.sqrt(((lp - ego.pos[:, None, :]) ** 2).sum(-1))
+        near = (ldist < 4.0) & scene.light_valid[state.sidx]
+        on_red = (near & (lstat == 3)).any(axis=1)
+        on_yellow_light = (near & (lstat == 2)).any(axis=1)
+
         ego = ego.replace(
             crash_vehicle=crash_v, crash_human=crash_h,
             on_yellow_line=seg_flags[SEG_YELLOW_LINE],
@@ -441,6 +453,7 @@ class ScenarioEnv:
             "cost": cost, "total_cost": episode_cost, "step_reward": step_reward,
             "route_completion": route_completion,
             "velocity": ego.speed, "max_step": truncated,
+            "on_red_light": on_red, "on_yellow_light": on_yellow_light,
             "episode_reward": episode_reward, "episode_length": state.step_count,
             "env_seed": state.sidx + cfg["start_scenario_index"],
             TerminationState.SUCCESS: arrive,

@@ -82,6 +82,23 @@ def compile_scenario(sd):
         trk_kind.append(kind)
     TRK = len(trk_pos)
 
+    # traffic lights (dynamic_map_states; reference:
+    # manager/scenario_light_manager.py — stop point + per-step status)
+    _STATUS = {"TRAFFIC_LIGHT_GREEN": 1, "TRAFFIC_LIGHT_YELLOW": 2, "TRAFFIC_LIGHT_RED": 3}
+    light_pos, light_status = [], []
+    for lid_, light in (sd.get(SD.DYNAMIC_MAP_STATES) or {}).items():
+        state = light.get("state", {})
+        stop = light.get("metadata", {}).get("stop_point", state.get("stop_point"))
+        statuses = state.get("object_state", state.get("status", []))
+        if stop is None or len(statuses) == 0:
+            continue
+        codes = np.zeros(T, np.int32)
+        for t in range(min(T, len(statuses))):
+            codes[t] = _STATUS.get(str(statuses[t]), 0)
+        light_pos.append(np.asarray(stop, np.float32)[:2])
+        light_status.append(codes)
+    LG = len(light_pos)
+
     seg_p0, seg_p1, seg_type = [], [], []
     for fid, feat in (sd.get(SD.MAP_FEATURES) or {}).items():
         styp = _line_seg_type(feat.get("type", ""))
@@ -120,6 +137,9 @@ def compile_scenario(sd):
         seg_type=np.asarray(seg_type, np.int32),
         seg_halfwidth=np.full(B, 0.075, np.float32),
         seg_valid=np.ones(B, bool),
+        light_pos=np.asarray(light_pos, np.float32).reshape(LG, 2),
+        light_status=np.asarray(light_status, np.int32).reshape(LG, T),
+        light_valid=np.ones(LG, bool),
         sdc_start_pos=pts[0], sdc_start_heading=np.float32(sdc_heading0),
     )
 

@@ -95,3 +95,28 @@ def test_scenario_env_truncates_at_scenario_end(recorded_scenarios):
             truncated_seen = True
             break
     assert truncated_seen
+
+
+def test_traffic_lights_replay(recorded_scenarios):
+    import copy
+    sds = [copy.deepcopy(sd) for sd in recorded_scenarios[:2]]
+    # place a red light directly on the sdc path a few steps in
+    for sd in sds:
+        p = np.asarray(sd["tracks"]["sdc"]["state"]["position"])[8, :2]
+        T = sd["length"]
+        sd["dynamic_map_states"] = {
+            "light0": {
+                "type": "TRAFFIC_LIGHT",
+                "state": {"object_state": ["TRAFFIC_LIGHT_RED"] * T},
+                "metadata": {"stop_point": [float(p[0]), float(p[1])]},
+            }
+        }
+    env = ScenarioEnv(dict(num_envs=2, scenario_data=sds, auto_reset=False))
+    env.reset(seed=0)
+    saw_red = False
+    for i in range(30):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 0.7], (2, 1)))
+        if bool(np.asarray(inf["on_red_light"]).any()):
+            saw_red = True
+            break
+    assert saw_red, "driving through the stop point of a red light must flag on_red_light"
