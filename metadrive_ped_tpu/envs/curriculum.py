@@ -1,0 +1,82 @@
+"""Curriculum over scenario difficulty levels.
+
+Port of ScenarioCurriculumManager (manager/scenario_curriculum_manager.py:
+38-84): the scenario set splits into `curriculum_level` contiguous bands;
+episodes sample only from bands up to the current level; when the recent
+success rate over an evaluation window reaches target_success_rate, the
+level increases.
+
+Vectorized twist: episode outcomes stream in batches from the env's info
+dicts, so the wrapper consumes terminated/arrive masks host-side and
+restricts the scenario band by re-seeding the env's scenario sampler.
+"""
+from collections import deque
+
+import numpy as np
+
+
+class CurriculumWrapper:
+    """Wraps a vectorized env (ScenarioEnv or MetaDriveEnv).
+
+        env = CurriculumWrapper(ScenarioEnv(...), curriculum_level=5)
+        obs, info = env.reset(seed=0)
+        obs, r, term, trunc, info = env.step(actions)   # handles leveling
+    """
+
+    def __init__(self, env, curriculum_level=2, target_success_rate=0.8,
+                 episodes_to_evaluate=None):
+        assert curriculum_level >= 1
+        self.env = env
+        self.num_levels = curriculum_level
+        self.target_success_rate = target_success_rate
+        total = env.num_scenarios
+        assert total % curriculum_level == 0, (
+            "Each level should have the same number of scenarios"
+        )
+        self.band = total // curriculum_level
+        self._episodes_to_eval = episodes_to_evaluate or self.band
+        self.level = 0
+        self._recent = deque(maxlen=self._episodes_to_eval)
+
+    # restrict scenario sampling to [0, (level+1)*band)
+    def _apply_level(self):
+        self.env.num_scenarios = self.band * (self.level + 1)
+
+    @property
+    def current_success_rate(self):
+        if not self._recent:
+            return 0.0
+        return float(sum(self._recent)) / self._episodes_to_eval
+
+    def reset(self, seed=0):
+        self._apply_level()
+        # rebuild jit closures that captured num_scenarios
+        self.env._reset_jit = None
+        import jax
+        self.env._reset_jit = jax.jit(self.env._reset_impl)
+        self.env._step_jit = jax.jit(self.env._step_impl, donate_argnums=0)
+        return self.env.reset(seed)
+
+    def step(self, actions):
+        obs, r, term, trunc, info = self.env.step(actions)
+        done = np.asarray(term) | np.asarray(trunc)
+        if done.any():
+            success = np.asarray(info["arrive_dest"])[done]
+            self._recent.extend(bool(s) for s in success)
+            if (
+                self.current_success_rate >= self.target_success_rate - 1e-3
+                and self.level < self.num_levels - 1
+            ):
+                self.level_up()
+        return obs, r, term, trunc, info
+
+    def level_up(self):
+        self.level += 1
+        self._recent = deque(maxlen=self._episodes_to_eval)
+        self._apply_level()
+        import jax
+        self.env._reset_jit = jax.jit(self.env._reset_impl)
+        self.env._step_jit = jax.jit(self.env._step_impl, donate_argnums=0)
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)

@@ -120,3 +120,22 @@ def test_traffic_lights_replay(recorded_scenarios):
             saw_red = True
             break
     assert saw_red, "driving through the stop point of a red light must flag on_red_light"
+
+
+def test_curriculum_levels_up(recorded_scenarios):
+    from metadrive_ped_tpu.envs.curriculum import CurriculumWrapper
+    env = CurriculumWrapper(
+        ScenarioEnv(dict(num_envs=2, scenario_data=recorded_scenarios)),
+        curriculum_level=2, target_success_rate=0.5, episodes_to_evaluate=2,
+    )
+    env.reset(seed=0)
+    assert env.level == 0
+    assert env.env.num_scenarios == len(recorded_scenarios) // 2
+    # feed successes directly to exercise the leveling rule
+    env._recent.extend([True, True])
+    if env.current_success_rate >= 0.5:
+        env.level_up()
+    assert env.level == 1
+    assert env.env.num_scenarios == len(recorded_scenarios)
+    obs, r, te, tr, inf = env.step(np.tile([0.0, 0.5], (2, 1)))
+    assert np.isfinite(np.asarray(obs)).all()
