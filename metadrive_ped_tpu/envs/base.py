@@ -104,7 +104,8 @@ class BaseVectorEnv:
                     max_brake_force=130.0,
                     max_steering=40.0,
                     max_speed_km_h=80.0,
-                    lidar=dict(num_lasers=240, distance=50.0, num_others=0),
+                    lidar=dict(num_lasers=240, distance=50.0, num_others=0,
+                               gaussian_noise=0.0, dropout_prob=0.0),
                     side_detector=dict(num_lasers=0, distance=50.0),
                     lane_line_detector=dict(num_lasers=0, distance=20.0),
                 ),
@@ -407,10 +408,18 @@ class BaseVectorEnv:
     def _observe(self, state, ego_long, ego_lat):
         lidar_cfg = self.config["vehicle_config"]["lidar"]
         targets, _ = self._lidar_targets(state)
+        noisy = lidar_cfg["gaussian_noise"] > 0 or lidar_cfg["dropout_prob"] > 0
+        rng = None
+        if noisy:
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(0), jnp.sum(state.step_count)
+            )
         return state_obs.observe(
             self.scene, state.sidx, state.ego, targets, ego_long, ego_lat,
             num_lasers=lidar_cfg["num_lasers"], lidar_distance=lidar_cfg["distance"],
             num_others=lidar_cfg["num_others"], npc=state.npc,
+            gaussian_noise=lidar_cfg["gaussian_noise"],
+            dropout_prob=lidar_cfg["dropout_prob"], rng=rng,
         )
 
     # ------------------------------------------------------------------ step

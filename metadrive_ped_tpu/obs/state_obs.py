@@ -79,7 +79,7 @@ def surrounding_vehicles_info(ego, npc, num_others, perceive_distance):
 
 
 def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_distance=50.0,
-            num_others=0, npc=None):
+            num_others=0, npc=None, gaussian_noise=0.0, dropout_prob=0.0, rng=None):
     """Full observation [E, 19 + num_others*4 + num_lasers]. ego_long/ego_lat
     are the current-lane local coordinates already computed by localization;
     ``targets`` = (pos, heading, length, width, active) arrays [E,T,...] of
@@ -117,6 +117,18 @@ def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_
         ego.pos, ego.heading, num_lasers, lidar_distance,
         t_pos, t_heading, t_len, t_wid, t_active,
     )
+    # gaussian noise / dropout on the cloud (LidarStateObservation
+    # _add_noise_to_cloud_points, state_obs.py:234-244)
+    if (gaussian_noise > 0 or dropout_prob > 0) and rng is not None:
+        k1, k2 = jax.random.split(rng)
+        if gaussian_noise > 0:
+            cloud = jnp.clip(
+                cloud + gaussian_noise * jax.random.normal(k1, cloud.shape), 0.0, 1.0
+            )
+        if dropout_prob > 0:
+            drop = jax.random.uniform(k2, cloud.shape) < dropout_prob
+            cloud = jnp.where(drop, 0.0, cloud)
+
     parts = [ego_state, navi]
     if num_others > 0:
         parts.append(surrounding_vehicles_info(ego, npc, num_others, lidar_distance))
