@@ -1,5 +1,9 @@
 from metadrive_ped_tpu.envs.marl_envs.marl_env import (
-    MultiAgentIntersectionEnv, MultiAgentMetaDrive, MultiAgentRoundaboutEnv
+    MultiAgentBidirectionEnv, MultiAgentBottleneckEnv, MultiAgentIntersectionEnv,
+    MultiAgentMetaDrive, MultiAgentRoundaboutEnv
 )
 
-__all__ = ["MultiAgentMetaDrive", "MultiAgentRoundaboutEnv", "MultiAgentIntersectionEnv"]
+__all__ = [
+    "MultiAgentMetaDrive", "MultiAgentRoundaboutEnv", "MultiAgentIntersectionEnv",
+    "MultiAgentBottleneckEnv", "MultiAgentBidirectionEnv",
+]

@@ -227,6 +227,48 @@ class MultiAgentRoundaboutEnv(MultiAgentMetaDrive):
         return config
 
 
+class MultiAgentBottleneckEnv(MultiAgentMetaDrive):
+    """MARL bottleneck scene (reference: marl_envs/marl_bottleneck.py):
+    Merge then Split corridor; agents spawn at both ends."""
+
+    @classmethod
+    def default_config(cls):
+        config = super().default_config()
+        config.update(
+            dict(
+                map="yY",
+                num_agents=8,
+                map_config=dict(lane_width=3.5, lane_num=2, exit_length=50.0),
+                spawn_roads=[
+                    (">>", ">>>"),
+                    ("-2Y0_1_", "-2Y0_0_"),
+                ],
+            )
+        )
+        return config
+
+
+class MultiAgentBidirectionEnv(MultiAgentMetaDrive):
+    """MARL bidirection scene (reference: marl_envs/marl_bidirection.py):
+    a shared single-lane span driven from both ends."""
+
+    @classmethod
+    def default_config(cls):
+        config = super().default_config()
+        config.update(
+            dict(
+                map="B",
+                num_agents=4,
+                map_config=dict(lane_width=3.5, lane_num=1, exit_length=50.0),
+                spawn_roads=[
+                    (">>", ">>>"),
+                    ("-1B0_0_", "->>>"),
+                ],
+            )
+        )
+        return config
+
+
 class MultiAgentIntersectionEnv(MultiAgentMetaDrive):
     """MARL intersection scene (reference: marl_envs/marl_intersection.py):
     one StdInterSection block, agents spawn on all four arms."""

@@ -16,7 +16,7 @@ import numpy as np
 
 from metadrive_ped_tpu.constants import LINE_BROKEN, LINE_CONTINUOUS, LINE_NONE, LINE_SIDE
 from metadrive_ped_tpu.mapgen.lanes import (
-    HostStraightLane, create_bend_straight, extend_straight_lane
+    HostStraightLane, create_bend_straight, create_wave_lanes, extend_straight_lane
 )
 from metadrive_ped_tpu.mapgen.network import NodeRoadNetwork, Road
 from metadrive_ped_tpu.mapgen import spaces
@@ -101,7 +101,7 @@ def create_road_from(lane, lane_num, road, block_network, side_line_type=LINE_SI
 
 
 def create_adverse_road(positive_road, block_network, side_line_type=LINE_SIDE,
-                        center_line_type=LINE_CONTINUOUS):
+                        center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_BROKEN):
     """Mirror of CreateAdverseRoad (create_pg_block_utils.py:203-260)."""
     adverse = -positive_road
     lanes = positive_road.get_lanes(block_network)
@@ -125,7 +125,8 @@ def create_adverse_road(positive_road, block_network, side_line_type=LINE_SIDE,
         )
     return create_road_from(
         symmetric, len(lanes), adverse, block_network,
-        side_line_type=side_line_type, center_line_type=center_line_type
+        side_line_type=side_line_type, center_line_type=center_line_type,
+        inner_line_type=inner_line_type,
     )
 
 
@@ -180,6 +181,10 @@ class PGBlock:
     @property
     def positive_basic_lane(self):
         return self.pre_block_socket.get_positive_lanes(self.global_network)[-1]
+
+    @property
+    def positive_lanes(self):
+        return self.pre_block_socket.get_positive_lanes(self.global_network)
 
     @property
     def positive_lane_num(self):
@@ -798,6 +803,181 @@ class OutRampOnStraight(Ramp):
         return True
 
 
+
+
+class Bottleneck(PGBlock):
+    """Lane-count change via S-curve transitions
+    (reference: pgblock/bottleneck.py:10-30)."""
+
+    PARAMETER_SPACE = {
+        Parameter.length: spaces.BoxSpace(20.0, 50.0),
+        Parameter.lane_num: spaces.DiscreteSpace(1, 2),
+        "bottle_len": spaces.ConstantSpace(20.0),
+        "solid_center_line": spaces.ConstantSpace(0),
+    }
+
+    def get_intermediate_spawn_lanes(self):
+        return [
+            lanes for lanes in super().get_intermediate_spawn_lanes()
+            if isinstance(lanes[0], HostStraightLane)
+        ]
+
+
+class Merge(Bottleneck):
+    """In-bottleneck: lane count decreases (reference: bottleneck.py:33-175)."""
+
+    ID = "y"
+
+    def _try_plug_into_previous_block(self):
+        para = self.config
+        if not isinstance(self.positive_basic_lane, HostStraightLane):
+            return False
+        center_line_type = LINE_CONTINUOUS if para["solid_center_line"] else LINE_BROKEN
+        bottle_len = para["bottle_len"]
+        straight_num = max(1, self.positive_lane_num - para[Parameter.lane_num])
+        circular_num = self.positive_lane_num - straight_num
+        start_node = self.pre_block_socket.positive_road.end_node
+
+        basic = self.positive_lanes[straight_num - 1]
+        ref_lane = extend_straight_lane(basic, bottle_len, [LINE_NONE, LINE_NONE])
+        straight_road = Road(start_node, self.road_node(0, 0))
+        create_road_from(ref_lane, straight_num, straight_road, self.block_network,
+                         center_line_type=center_line_type,
+                         side_line_type=LINE_SIDE if circular_num == 0 else LINE_NONE,
+                         inner_line_type=LINE_NONE)
+        create_adverse_road(straight_road, self.block_network,
+                            center_line_type=center_line_type,
+                            side_line_type=LINE_SIDE if circular_num == 0 else LINE_NONE,
+                            inner_line_type=LINE_NONE)
+
+        ref_lane = extend_straight_lane(ref_lane, para[Parameter.length], [LINE_NONE, LINE_NONE])
+        socket_road = Road(self.road_node(0, 0), self.road_node(0, 1))
+        create_road_from(ref_lane, straight_num, socket_road, self.block_network,
+                         center_line_type=center_line_type)
+        create_adverse_road(socket_road, self.block_network, center_line_type=center_line_type)
+        self.add_sockets(PGBlockSocket(socket_road, -socket_road))
+
+        # merging side lanes: S-curves from the outer lanes into road_node(0,0)
+        for index, lane in enumerate(self.positive_lanes[straight_num:], 1):
+            lateral_dist = index * self.lane_width / 2
+            inner = self.road_node(1, index)
+            side = LINE_SIDE if index == circular_num else LINE_NONE
+            c1, c2, _ = create_wave_lanes(lane, lateral_dist, bottle_len, 5.0, self.lane_width)
+            create_road_from(c1, 1, Road(start_node, inner), self.block_network,
+                             center_line_type=LINE_NONE, side_line_type=side,
+                             inner_line_type=LINE_NONE)
+            create_road_from(c2, 1, Road(inner, self.road_node(0, 0)), self.block_network,
+                             center_line_type=LINE_NONE, side_line_type=side,
+                             inner_line_type=LINE_NONE)
+            neg_lane = (-socket_road).get_lanes(self.block_network)[-1]
+            c2b, c1b, _ = create_wave_lanes(neg_lane, lateral_dist, bottle_len, 5.0,
+                                            self.lane_width, False)
+            create_road_from(c2b, 1, -Road(inner, self.road_node(0, 0)), self.block_network,
+                             center_line_type=LINE_NONE, side_line_type=side,
+                             inner_line_type=LINE_NONE)
+            create_road_from(c1b, 1, -Road(start_node, inner), self.block_network,
+                             center_line_type=LINE_NONE, side_line_type=side,
+                             inner_line_type=LINE_NONE)
+        return True
+
+
+class Split(Bottleneck):
+    """Out-bottleneck: lane count increases (reference: bottleneck.py:177-330)."""
+
+    ID = "Y"
+
+    def _try_plug_into_previous_block(self):
+        para = self.config
+        if not isinstance(self.positive_basic_lane, HostStraightLane):
+            return False
+        center_line_type = LINE_CONTINUOUS if para["solid_center_line"] else LINE_BROKEN
+        bottle_len = para["bottle_len"]
+        straight_num = self.positive_lane_num
+        circular_num = para[Parameter.lane_num]
+        total_num = straight_num + circular_num
+        start_node = self.pre_block_socket.positive_road.end_node
+
+        basic = self.positive_lanes[straight_num - 1]
+        ref_lane = extend_straight_lane(basic, bottle_len, [LINE_NONE, LINE_NONE])
+        straight_road = Road(start_node, self.road_node(0, 0))
+        create_road_from(ref_lane, straight_num, straight_road, self.block_network,
+                         center_line_type=center_line_type, side_line_type=LINE_NONE,
+                         inner_line_type=LINE_NONE)
+        create_adverse_road(straight_road, self.block_network,
+                            center_line_type=center_line_type, side_line_type=LINE_NONE,
+                            inner_line_type=LINE_NONE)
+
+        # diverging side lanes out of start_node
+        lane = self.positive_lanes[-1]
+        socket_ref = None
+        for index in range(1, circular_num + 1):
+            lateral_dist = index * self.lane_width / 2
+            inner = self.road_node(1, index)
+            side = LINE_SIDE if index == circular_num else LINE_NONE
+            c1, c2, straight = create_wave_lanes(
+                lane, lateral_dist, bottle_len, para[Parameter.length], self.lane_width, False
+            )
+            if index == circular_num:
+                socket_ref = straight
+            create_road_from(c1, 1, Road(start_node, inner), self.block_network,
+                             center_line_type=LINE_NONE, side_line_type=side,
+                             inner_line_type=LINE_NONE)
+            create_road_from(c2, 1, Road(inner, self.road_node(0, 0)), self.block_network,
+                             center_line_type=LINE_NONE, side_line_type=side,
+                             inner_line_type=LINE_NONE)
+
+        socket_road = Road(self.road_node(0, 0), self.road_node(0, 1))
+        create_road_from(socket_ref, total_num, socket_road, self.block_network)
+        create_adverse_road(socket_road, self.block_network)
+        self.add_sockets(PGBlockSocket(socket_road, -socket_road))
+
+        # adverse merging lanes back toward the previous block
+        lanes = (-socket_road).get_lanes(self.block_network)
+        for index, lane in enumerate(lanes[straight_num:], 1):
+            lateral_dist = index * self.lane_width / 2
+            inner = self.road_node(1, index)
+            side = LINE_SIDE if index == circular_num else LINE_NONE
+            c1, c2, _ = create_wave_lanes(lane, lateral_dist, bottle_len, 5.0, self.lane_width)
+            create_road_from(c1, 1, -Road(inner, self.road_node(0, 0)), self.block_network,
+                             center_line_type=LINE_NONE, side_line_type=side,
+                             inner_line_type=LINE_NONE)
+            create_road_from(c2, 1, -Road(start_node, inner), self.block_network,
+                             center_line_type=LINE_NONE, side_line_type=side,
+                             inner_line_type=LINE_NONE)
+        return True
+
+
+class Bidirection(PGBlock):
+    """Single shared lane with opposing traffic (reference:
+    pgblock/bidirection.py:73-119; the overlap adverse road reuses the same
+    physical span)."""
+
+    ID = "B"
+    PARAMETER_SPACE = {Parameter.length: spaces.BoxSpace(40.0, 80.0)}
+
+    def _try_plug_into_previous_block(self):
+        self.set_part_idx(0)
+        para = self.config
+        basic = self.positive_lanes[0]
+        if not isinstance(basic, HostStraightLane):
+            return False
+        length = para[Parameter.length]
+        start_position = basic.position(basic.length, -basic.width / 2)
+        end_position = basic.position(basic.length + length, -basic.width / 2)
+        new_lane = HostStraightLane(start_position, end_position, basic.width,
+                                    [LINE_BROKEN, LINE_SIDE])
+        start = self.pre_block_socket.positive_road.end_node
+        end = self.add_road_node()
+        socket = Road(start, end)
+        create_road_from(new_lane, 1, socket, self.block_network)
+        # the adverse road overlaps the same physical lane
+        overlap = HostStraightLane(end_position, start_position, basic.width,
+                                   [LINE_BROKEN, LINE_SIDE])
+        create_road_from(overlap, 1, -socket, self.block_network)
+        self.add_sockets(PGBlockSocket(socket, -socket))
+        return True
+
+
 # Registry used by BIG + the "map string" sugar
 # (reference: blocks_prob_dist.py + pg_map.py parse_map_config).
 PG_BLOCKS = {
@@ -808,6 +988,9 @@ PG_BLOCKS = {
     "O": Roundabout,
     "r": InRampOnStraight,
     "R": OutRampOnStraight,
+    "y": Merge,
+    "Y": Split,
+    "B": Bidirection,
 }
 
 # reference: blocks_prob_dist.py:22-41 BLOCK_TYPE_DISTRIBUTION_V2

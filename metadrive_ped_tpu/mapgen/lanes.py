@@ -158,6 +158,26 @@ def extend_straight_lane(lane, extend_length, line_types):
     return HostStraightLane(start, end, lane.width, line_types)
 
 
+def create_wave_lanes(pre_lane, lateral_dist, wave_length, last_straight_length,
+                      lane_width, toward_left=True):
+    """Two opposing arcs shifting a lane laterally (bottleneck transitions;
+    reference: create_pg_block_utils.py:359-380 create_wave_lanes)."""
+    angle = math.pi - 2 * math.atan(wave_length / (2 * lateral_dist))
+    radius = wave_length / (2 * math.sin(angle))
+    circular_1, mid = create_bend_straight(
+        pre_lane, 10.0, radius, angle, not toward_left, lane_width,
+        [LINE_BROKEN, LINE_BROKEN]
+    )
+    mid = HostStraightLane(
+        mid.position(-10.0, 0.0), mid.position(mid.length - 10.0, 0.0), lane_width
+    )
+    circular_2, straight = create_bend_straight(
+        mid, last_straight_length, radius, angle, toward_left, lane_width,
+        [LINE_BROKEN, LINE_BROKEN]
+    )
+    return circular_1, circular_2, straight
+
+
 def create_bend_straight(
     previous_lane, following_lane_length, radius, angle, clockwise=True,
     width=HostLane.DEFAULT_WIDTH, line_types=None

@@ -98,3 +98,11 @@ def test_traffic_density_scales_npcs():
     cfg1 = _cfg(dict(config=3, lane_num=3, lane_width=3.5, exit_length=50), 0.3)
     assert len(compile_scene(5, cfg0)["npc_lane"]) == 0
     assert len(compile_scene(5, cfg1)["npc_lane"]) > 3
+
+
+@pytest.mark.parametrize("letters", ["Y", "SYyS", "B"])
+def test_bottleneck_bidirection_blocks(letters):
+    cfg = _cfg(dict(config=letters, lane_num=2, lane_width=3.5, exit_length=50), 0.1)
+    sc = compile_scene(2, cfg)
+    assert int(sc["route_len"][0]) >= 2
+    _assert_chain_continuity(sc)

@@ -82,3 +82,17 @@ def test_marl_no_respawn_all_done_resets():
     # after __all__, env auto-resets: agents back at spawn with zero speed
     st = env._state
     assert bool(np.isfinite(np.asarray(obs)).all())
+
+
+def test_marl_bottleneck_and_bidirection_scenes():
+    from metadrive_ped_tpu.envs.marl_envs import (
+        MultiAgentBidirectionEnv, MultiAgentBottleneckEnv
+    )
+    for Env in (MultiAgentBottleneckEnv, MultiAgentBidirectionEnv):
+        env = Env(dict(num_envs=1))
+        obs, info = env.reset(seed=0)
+        for _ in range(15):
+            obs, r, te, tr, inf = env.step(
+                np.tile([0.0, 0.5], (1, env.agents_per_env, 1))
+            )
+        assert bool(np.isfinite(np.asarray(obs)).all())
