@@ -31,6 +31,8 @@ class Scene:
     lane_left: jnp.ndarray
     lane_right: jnp.ndarray
     lane_valid: jnp.ndarray
+    lane_speed_limit: jnp.ndarray  # [S, L] m/s (tollgate lanes = 3)
+    lane_block: jnp.ndarray        # [S, L] ord() of the owning block ID char
     road_lane0: jnp.ndarray
     road_nlanes: jnp.ndarray
     road_negative: jnp.ndarray
@@ -84,6 +86,7 @@ class Scene:
             pack["lane_length"], pack["lane_angle"], pack["lane_road"],
             pack["lane_idx_in_road"], pack["lane_succ"], pack["lane_left"],
             pack["lane_right"], pack["lane_valid"],
+            pack["lane_speed_limit"], pack["lane_block"],
         ]
         arrays["lane_table"] = jnp.asarray(
             np.stack([np.asarray(c, np.float32) for c in lane_cols], axis=-1)
@@ -118,7 +121,8 @@ class Scene:
 # lane_table column indices
 LANE_KIND, LANE_P0X, LANE_P0Y, LANE_DIRX, LANE_DIRY, LANE_RADIUS, \
     LANE_START_PHASE, LANE_ARC_DIR, LANE_WIDTH, LANE_LENGTH, LANE_ANGLE, \
-    LANE_ROAD, LANE_IDX_IN_ROAD, LANE_SUCC, LANE_LEFT, LANE_RIGHT, LANE_VALID = range(17)
+    LANE_ROAD, LANE_IDX_IN_ROAD, LANE_SUCC, LANE_LEFT, LANE_RIGHT, LANE_VALID, \
+    LANE_SPEED_LIMIT, LANE_BLOCK = range(19)
 
 # road_table column indices
 ROAD_LANE0, ROAD_NLANES, ROAD_NEGATIVE, ROAD_SUCC = range(4)
@@ -157,6 +161,7 @@ class EgoState:
     crash_vehicle: jnp.ndarray  # [E] bool
     crash_object: jnp.ndarray   # [E] bool
     crash_human: jnp.ndarray    # [E] bool
+    crash_building: jnp.ndarray  # [E] bool (toll booths etc.)
     crash_sidewalk: jnp.ndarray  # [E] bool
     on_yellow_line: jnp.ndarray  # [E] bool
     on_white_line: jnp.ndarray   # [E] bool
@@ -203,6 +208,8 @@ class SimState:
     episode_reward: jnp.ndarray  # [E]
     episode_cost: jnp.ndarray    # [E]
     dead_timer: jnp.ndarray      # [E] MARL delay-done countdown (0 = alive)
+    aux: jnp.ndarray             # [E, 4] env-family-specific counters
+                                 # (e.g. tollgate stay time); zeroed on spawn
     ego: EgoState
     npc: NpcState
     ped: PedState

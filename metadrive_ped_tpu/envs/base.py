@@ -28,7 +28,7 @@ from metadrive_ped_tpu.constants import (
 from metadrive_ped_tpu.core.structs import (
     PAST_POS_STEPS, EgoState, NpcState, PedState, Scene, SimState, VehicleParams
 )
-from metadrive_ped_tpu.mapgen.scene import build_scene_pack
+from metadrive_ped_tpu.mapgen.scene import OBJ_BUILDING, build_scene_pack
 from metadrive_ped_tpu.obs import state_obs
 from metadrive_ped_tpu.ops import collision, dynamics, idm, localization, participants
 from metadrive_ped_tpu.ops import lane_geom
@@ -285,7 +285,8 @@ class BaseVectorEnv:
             lane=spawn_lane, route_idx=jnp.zeros(E, jnp.int32), slot=slot,
             on_lane=jnp.ones(E, bool),
             crash_vehicle=jnp.zeros(E, bool), crash_object=jnp.zeros(E, bool),
-            crash_human=jnp.zeros(E, bool), crash_sidewalk=jnp.zeros(E, bool),
+            crash_human=jnp.zeros(E, bool), crash_building=jnp.zeros(E, bool),
+            crash_sidewalk=jnp.zeros(E, bool),
             on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
             out_of_route=jnp.zeros(E, bool),
             past_pos=jnp.tile(pos[:, None, :], (1, PAST_POS_STEPS, 1)),
@@ -317,7 +318,8 @@ class BaseVectorEnv:
         return SimState(
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
             episode_reward=zeros, episode_cost=zeros,
-            dead_timer=jnp.zeros(E, jnp.int32), ego=ego, npc=npc, ped=ped,
+            dead_timer=jnp.zeros(E, jnp.int32), aux=jnp.zeros((E, 4)),
+            ego=ego, npc=npc, ped=ped,
         )
 
     def _ego_params(self, rng, E):
@@ -497,7 +499,12 @@ class BaseVectorEnv:
             t_pos, t_heading, t_len, t_wid,
         ) & t_active
         crash_v = hits[:, kinds["npc"]].any(axis=1) | hits[:, kinds["agents"]].any(axis=1)
-        crash_o = hits[:, kinds["obj"]].any(axis=1)
+        obj_hits = hits[:, kinds["obj"]]
+        # toll booths are buildings, not traffic objects (crash_building vs
+        # crash_object, base_vehicle.py _state_check classification)
+        is_building = scene.obj_kind[state.sidx] == OBJ_BUILDING
+        crash_o = (obj_hits & ~is_building).any(axis=1)
+        crash_b = (obj_hits & is_building).any(axis=1)
         crash_h = hits[:, kinds["ped"]].any(axis=1)
         left, right = localization.boundary_distances(scene, state.sidx, ego.slot, ego.route_idx, ego.pos)
         ego = ego.replace(
@@ -506,12 +513,14 @@ class BaseVectorEnv:
             crash_sidewalk=seg_flags[SEG_SIDEWALK],
             crash_vehicle=crash_v,
             crash_object=crash_o,
+            crash_building=crash_b,
             crash_human=crash_h,
             out_of_route=(left < 0) | (right < 0),
         )
 
         step_count = state.step_count + 1
         state = state.replace(ego=ego, npc=npc, step_count=step_count)
+        state = self._pre_reward_update(state, loc)
 
         # reward / done / cost (subclass formulas)
         arrive = localization.arrive_destination(scene, state.sidx, ego.slot, ego.pos)
@@ -529,12 +538,14 @@ class BaseVectorEnv:
         # crash aggregates vehicle/object/building/sidewalk/human
         # (metadrive_env.py:148-152)
         crash_any = (
-            ego.crash_vehicle | ego.crash_object | ego.crash_sidewalk | ego.crash_human
+            ego.crash_vehicle | ego.crash_object | ego.crash_sidewalk
+            | ego.crash_human | ego.crash_building
         )
         info = dict(
             arrive_dest=arrive, out_of_road=out_of_road,
             crash_vehicle=ego.crash_vehicle, crash_object=ego.crash_object,
             crash_human=ego.crash_human, crash_sidewalk=ego.crash_sidewalk,
+            crash_building=ego.crash_building,
             crash=crash_any,
             max_step=truncated, cost=cost, total_cost=episode_cost,
             step_reward=step_info["step_reward"],
@@ -570,6 +581,11 @@ class BaseVectorEnv:
         return state, obs, reward, terminated, truncated, info
 
     # ---- overridable scheme ------------------------------------------------
+    def _pre_reward_update(self, state, loc):
+        """Hook after localization/contacts, before reward/done — env families
+        update their aux counters here (e.g. tollgate stay time)."""
+        return state
+
     def _post_done(self, state, terminated, truncated):
         """Hook after done computation (MARL delay-done/respawn)."""
         return state, terminated, truncated

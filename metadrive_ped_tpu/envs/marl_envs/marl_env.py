@@ -178,6 +178,7 @@ class MultiAgentMetaDrive(MetaDriveEnv):
             episode_reward=jnp.where(do, 0.0, state.episode_reward),
             episode_cost=jnp.where(do, 0.0, state.episode_cost),
             dead_timer=jnp.where(do, 0, state.dead_timer),
+            aux=jnp.where(do[:, None], 0.0, state.aux),
         )
 
     def _reset_mask(self, state, done):

@@ -85,6 +85,8 @@ class MetaDriveEnv(BaseVectorEnv):
             terminated = terminated | ego.crash_vehicle
         if cfg["crash_object_done"]:
             terminated = terminated | ego.crash_object
+        # crash_building always terminates (metadrive_env.py:179-184)
+        terminated = terminated | ego.crash_building
         if cfg["crash_human_done"]:
             terminated = terminated | ego.crash_human
         horizon = cfg["horizon"]
@@ -99,6 +101,7 @@ class MetaDriveEnv(BaseVectorEnv):
             TerminationState.OUT_OF_ROAD: out_of_road,
             TerminationState.CRASH_VEHICLE: ego.crash_vehicle,
             TerminationState.CRASH_OBJECT: ego.crash_object,
+            TerminationState.CRASH_BUILDING: ego.crash_building,
             TerminationState.CRASH_HUMAN: ego.crash_human,
             TerminationState.CRASH_SIDEWALK: ego.crash_sidewalk,
         }

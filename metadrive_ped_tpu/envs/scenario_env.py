@@ -153,7 +153,8 @@ class ScenarioEnv:
             lane=zi, route_idx=zi, slot=zi,
             on_lane=jnp.ones(E, bool),
             crash_vehicle=jnp.zeros(E, bool), crash_object=jnp.zeros(E, bool),
-            crash_human=jnp.zeros(E, bool), crash_sidewalk=jnp.zeros(E, bool),
+            crash_human=jnp.zeros(E, bool), crash_building=jnp.zeros(E, bool),
+            crash_sidewalk=jnp.zeros(E, bool),
             on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
             out_of_route=jnp.zeros(E, bool),
             past_pos=jnp.tile(pos[:, None, :], (1, PAST_POS_STEPS, 1)),

@@ -130,6 +130,32 @@ def generate_map(seed, map_config):
     exit_length.
     """
     network = NodeRoadNetwork()
+    custom = map_config.get("custom_blocks")
+    if custom is not None:
+        # Fixed block sequence with explicit per-block configs — the path the
+        # reference's custom MARL maps take (e.g. MATollGateMap._generate,
+        # envs/marl_envs/marl_tollgate.py:113-162: block.construct_block with
+        # an explicit config dict instead of BIG sampling).
+        blocks = [
+            FirstPGBlock(
+                network,
+                map_config.get("lane_width", 3.5),
+                map_config.get("lane_num", 3),
+                length=map_config.get("exit_length", 50.0),
+            )
+        ]
+        for spec in custom:
+            cls = PG_BLOCKS[spec["id"]]
+            block = cls(
+                len(blocks),
+                blocks[-1].get_socket(spec.get("socket_idx", 0)),
+                network,
+                random_seed=spec.get("random_seed", 1),
+            )
+            ok = block.construct(spec.get("config"))
+            assert ok, f"custom block {spec['id']} failed to construct"
+            blocks.append(block)
+        return network, blocks
     big = BIG(
         lane_num=map_config.get("lane_num", 3),
         lane_width=map_config.get("lane_width", 3.5),

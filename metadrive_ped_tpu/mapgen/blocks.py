@@ -279,8 +279,13 @@ class PGBlock:
         old_pts = self._centerline_points(self.global_network)
         if len(old_pts) == 0:
             return False
-        # Ignore points near the shared socket junction.
+        # Ignore points near the shared socket junction (both directions —
+        # wide blocks attach adverse lanes far from the positive road).
         joint = self.pre_block_socket.positive_road.get_lanes(self.global_network)
+        try:
+            joint = joint + self.pre_block_socket.negative_road.get_lanes(self.global_network)
+        except KeyError:
+            pass  # sockets without an adverse twin
         joint_pos = np.asarray([l.end for l in joint] + [l.start for l in joint])
         d2 = ((new_pts[:, None, :] - old_pts[None, :, :]) ** 2).sum(-1)
         near = d2.min(axis=1) < 2.0 ** 2
@@ -978,6 +983,82 @@ class Bidirection(PGBlock):
         return True
 
 
+class TollGate(PGBlock):
+    """Toll plaza: a straight with continuous lines, a 3 m/s speed limit and
+    booth buildings occupying every odd lane (reference: pgblock/tollgate.py
+    + buildings/tollgate_building.py). Buildings are recorded on
+    ``self.buildings`` as (lane, longitude, length, width) and become static
+    box obstacles in the compiled scene (crash_building flag)."""
+
+    ID = "$"
+    PARAMETER_SPACE = {Parameter.length: spaces.ConstantSpace(20.0)}
+    SPEED_LIMIT = 3.0  # m/s (tollgate.py:19)
+    BUILDING_LENGTH = 10.0  # tollgate_building.py:8
+
+    def _try_plug_into_previous_block(self):
+        self.set_part_idx(0)
+        self.buildings = []
+        length = self.config[Parameter.length]
+        basic_lane = self.positive_basic_lane
+        new_lane = extend_straight_lane(basic_lane, length, [LINE_CONTINUOUS, LINE_SIDE])
+        start = self.pre_block_socket.positive_road.end_node
+        end = self.add_road_node()
+        socket = Road(start, end)
+        create_road_from(
+            new_lane, self.positive_lane_num, socket, self.block_network,
+            center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_CONTINUOUS,
+            side_line_type=LINE_SIDE,
+        )
+        create_adverse_road(
+            socket, self.block_network,
+            center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_CONTINUOUS,
+            side_line_type=LINE_SIDE,
+        )
+        self.add_sockets(PGBlockSocket(socket, -socket))
+        self._add_building_and_speed_limit(socket)
+        self._add_building_and_speed_limit(-socket)
+        return True
+
+    def _add_building_and_speed_limit(self, road):
+        # booth on every odd lane (tollgate.py:64-75)
+        lanes = road.get_lanes(self.block_network)
+        for idx, lane in enumerate(lanes):
+            lane.speed_limit = self.SPEED_LIMIT
+            if idx % 2 == 1:
+                self.buildings.append(
+                    (lane, lane.length / 2, self.BUILDING_LENGTH, lane.width)
+                )
+
+
+class Fork(Ramp):
+    """Fork base (reference: pgblock/fork.py:15-19)."""
+
+    PARAMETER_SPACE = {
+        Parameter.length: spaces.BoxSpace(20.0, 40.0),
+        Parameter.lane_num: spaces.DiscreteSpace(0, 1),
+    }
+
+
+class InFork(Fork):
+    """Disabled upstream: the reference raises
+    ValueError("Bug exists in this block, Recommend to use Ramp")
+    (fork.py:27-28). Kept for API parity."""
+
+    ID = "f"
+
+    def _try_plug_into_previous_block(self):
+        raise ValueError("Bug exists in this block, Recommend to use Ramp")
+
+
+class OutFork(Fork):
+    """Disabled upstream, like InFork (reference: fork.py:177-178)."""
+
+    ID = "F"
+
+    def _try_plug_into_previous_block(self):
+        raise ValueError("Bug exists in this block, Recommend to use Ramp")
+
+
 # Registry used by BIG + the "map string" sugar
 # (reference: blocks_prob_dist.py + pg_map.py parse_map_config).
 PG_BLOCKS = {
@@ -991,6 +1072,9 @@ PG_BLOCKS = {
     "y": Merge,
     "Y": Split,
     "B": Bidirection,
+    "$": TollGate,
+    "f": InFork,
+    "F": OutFork,
 }
 
 # reference: blocks_prob_dist.py:22-41 BLOCK_TYPE_DISTRIBUTION_V2

@@ -36,6 +36,7 @@ VEHICLE_GAP = 10.0  # reference: traffic_manager.py:32 VEHICLE_GAP
 OBJ_CONE = 0      # cylinder r=0.2
 OBJ_WARNING = 1   # cylinder r=0.5
 OBJ_BARRIER = 2   # box 2.0 x 0.3, long side across the lane
+OBJ_BUILDING = 3  # toll booth air wall (tollgate_building.py:7-26) -> crash_building
 OBJ_DIMS = {OBJ_CONE: (0.4, 0.4), OBJ_WARNING: (1.0, 1.0), OBJ_BARRIER: (0.3, 2.0)}
 
 # participant kinds (reference: pedestrian.py:12-118, cyclist.py:13-47)
@@ -103,8 +104,21 @@ def compile_scene(seed, config):
     lane_angle = np.zeros(L, np.float32)  # signed arc angle, 0 for straight
     lane_road = np.zeros(L, np.int32)
     lane_idx_in_road = np.zeros(L, np.int32)
+    lane_speed_limit = np.full(L, 1000.0, np.float32)  # m/s; HostLane default
+    lane_block = np.zeros(L, np.int32)  # ord of the owning block's ID char
+
+    def _road_block_char(road):
+        """Block ID char of a road (reference: road_network/road.py:42-47)."""
+        node = road.start_node if road.is_negative_road() else road.end_node
+        if ">" in node:
+            return ">"
+        for ch in node:
+            if ch.isalpha() or ch == "$":
+                return ch
+        return "?"
 
     for rid, (road, lane0, nlanes) in enumerate(road_list):
+        block_code = ord(_road_block_char(road))
         for i in range(nlanes):
             lid = lane0 + i
             lane = lane_list[lid]
@@ -112,6 +126,8 @@ def compile_scene(seed, config):
             lane_idx_in_road[lid] = i
             lane_width[lid] = lane.width
             lane_length[lid] = lane.length
+            lane_speed_limit[lid] = lane.speed_limit
+            lane_block[lid] = block_code
             if lane.kind == LANE_CIRCULAR:
                 lane_kind[lid] = LANE_CIRCULAR
                 lane_p0[lid] = lane.center
@@ -260,17 +276,30 @@ def compile_scene(seed, config):
         Curve, InRampOnStraight, OutRampOnStraight, Straight
     )
     accident_prob = config.get("accident_prob", 0.0)
-    obj_pos, obj_heading, obj_kind = [], [], []
+    obj_pos, obj_heading, obj_kind, obj_len, obj_wid = [], [], [], [], []
+
+    def add_obj(kind, pos, heading, dims=None):
+        obj_pos.append(np.asarray(pos, np.float32))
+        obj_heading.append(float(heading))
+        obj_kind.append(kind)
+        length, width = OBJ_DIMS[kind] if dims is None else dims
+        obj_len.append(float(length))
+        obj_wid.append(float(width))
+
+    # toll booth buildings (tollgate.py:64-75 spawns TollGateBuilding per odd
+    # lane; here they are compile-time static boxes with crash_building)
+    for block in blocks:
+        for lane, long, blength, bwidth in getattr(block, "buildings", []):
+            add_obj(
+                OBJ_BUILDING, lane.position(long, 0), lane.heading_theta_at(long),
+                dims=(blength, bwidth),
+            )
+
     accident_lanes = set()
     breakdown_npcs = []  # (lane, long, class)
     if accident_prob > 1e-2:
         rs_obj = np.random.RandomState((seed * 31 + 17) % (2 ** 31))
         lane_width_cfg = map_config.get("lane_width", 3.5)
-
-        def add_obj(kind, pos, heading):
-            obj_pos.append(np.asarray(pos, np.float32))
-            obj_heading.append(float(heading))
-            obj_kind.append(kind)
 
         def prohibit_scene(lane, longitude, lateral_len, on_left):
             # cone corridor closing one lane (object_manager.py:119-152)
@@ -399,6 +428,7 @@ def compile_scene(seed, config):
         lane_length=lane_length, lane_angle=lane_angle, lane_road=lane_road,
         lane_idx_in_road=lane_idx_in_road, lane_succ=lane_succ, lane_left=lane_left,
         lane_right=lane_right, lane_valid=np.ones(L, bool),
+        lane_speed_limit=lane_speed_limit, lane_block=lane_block,
         road_lane0=road_lane0, road_nlanes=road_nlanes, road_negative=road_negative,
         road_succ=road_succ, road_valid=np.ones(R, bool),
         route_roads=route_roads, route_len=route_len,
@@ -413,8 +443,8 @@ def compile_scene(seed, config):
         npc_valid=np.ones(N, bool),
         obj_pos=np.asarray(obj_pos, np.float32).reshape(len(obj_pos), 2),
         obj_heading=np.asarray(obj_heading, np.float32),
-        obj_len=np.asarray([OBJ_DIMS[k][0] for k in obj_kind], np.float32),
-        obj_wid=np.asarray([OBJ_DIMS[k][1] for k in obj_kind], np.float32),
+        obj_len=np.asarray(obj_len, np.float32),
+        obj_wid=np.asarray(obj_wid, np.float32),
         obj_kind=np.asarray(obj_kind, np.int32),
         obj_valid=np.ones(len(obj_kind), bool),
         ped_lane=np.asarray(ped_lane, np.int32), ped_lat=np.asarray(ped_lat, np.float32),

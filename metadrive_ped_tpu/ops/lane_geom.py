@@ -52,6 +52,8 @@ def gather_lane(scene, sidx, lid):
         left=toi(vals[..., st.LANE_LEFT]),
         right=toi(vals[..., st.LANE_RIGHT]),
         valid=vals[..., st.LANE_VALID] > 0.5,
+        speed_limit=vals[..., st.LANE_SPEED_LIMIT],
+        block=toi(vals[..., st.LANE_BLOCK]),
     )
 
 

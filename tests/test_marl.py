@@ -96,3 +96,47 @@ def test_marl_bottleneck_and_bidirection_scenes():
                 np.tile([0.0, 0.5], (1, env.agents_per_env, 1))
             )
         assert bool(np.isfinite(np.asarray(obs)).all())
+
+
+def test_marl_tollgate_scene():
+    """Tollgate plaza (reference: marl_tollgate.py): 156-dim toll obs,
+    booth buildings on odd lanes, overspeed penalty and rush-through done."""
+    from metadrive_ped_tpu.envs.marl_envs import MultiAgentTollgateEnv
+    from metadrive_ped_tpu.mapgen.scene import OBJ_BUILDING
+
+    env = MultiAgentTollgateEnv(dict(num_envs=1, num_agents=4))
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (1, 4, 156)  # 72 side + 6 core + 4 laneline + 72 lidar + 2
+    # 8 toll lanes, booths on odd lanes of both directions
+    assert int((env._pack["obj_kind"] == OBJ_BUILDING).sum()) == 8
+    # toll lanes carry the 3 m/s speed limit
+    assert float(env._pack["lane_speed_limit"].min()) == 3.0
+    # full throttle: rushing through the plaza must end episodes with
+    # negative (overspeed/terminal) rewards along the way
+    saw_done = False
+    neg_reward = 0.0
+    for i in range(250):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 1.0], (1, 4, 1)))
+        neg_reward += float(np.minimum(np.asarray(r), 0).sum())
+        saw_done = saw_done or bool(np.asarray(te).any())
+    assert saw_done
+    assert neg_reward < -1.0
+
+
+def test_marl_tollgate_crash_building():
+    """Teleporting an agent into a booth must set crash_building."""
+    from metadrive_ped_tpu.envs.marl_envs import MultiAgentTollgateEnv
+    from metadrive_ped_tpu.mapgen.scene import OBJ_BUILDING
+
+    env = MultiAgentTollgateEnv(dict(num_envs=1, num_agents=2, auto_reset=False))
+    env.reset(seed=0)
+    snap = env.snapshot()
+    bidx = int(np.argmax(env._pack["obj_kind"][0] == OBJ_BUILDING))
+    bpos = env._pack["obj_pos"][0, bidx]
+    new_pos = np.array(snap.ego.pos)
+    new_pos[0] = bpos
+    snap = snap.replace(ego=snap.ego.replace(pos=new_pos, last_pos=new_pos))
+    env.restore(snap)
+    obs, r, te, tr, inf = env.step(np.zeros((1, 2, 2), np.float32))
+    assert bool(np.asarray(inf["crash_building"])[0, 0])
+    assert bool(np.asarray(te)[0, 0]), "crash_building must terminate"
