@@ -144,6 +144,7 @@ class BaseVectorEnv:
                 accident_prob=cfg["accident_prob"],
                 pedestrian_density=cfg["pedestrian_density"],
                 spawn_roads=cfg.get("spawn_roads"),
+                spawn_dest_nodes=cfg.get("spawn_dest_nodes"),
             ),
         )
         self.scene = Scene.from_pack(pack)

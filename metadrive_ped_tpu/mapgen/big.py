@@ -152,7 +152,9 @@ def generate_map(seed, map_config):
                 network,
                 random_seed=spec.get("random_seed", 1),
             )
-            ok = block.construct(spec.get("config"))
+            # custom maps are hand-authored; skip the sampling-time overlap
+            # rejection (the reference passes explicit configs the same way)
+            ok = block.construct(spec.get("config"), check_overlap=False)
             assert ok, f"custom block {spec['id']} failed to construct"
             blocks.append(block)
         return network, blocks

@@ -14,7 +14,9 @@ from collections import OrderedDict
 
 import numpy as np
 
-from metadrive_ped_tpu.constants import LINE_BROKEN, LINE_CONTINUOUS, LINE_NONE, LINE_SIDE
+from metadrive_ped_tpu.constants import (
+    LINE_BROKEN, LINE_COLOR_GREY, LINE_COLOR_YELLOW, LINE_CONTINUOUS, LINE_NONE, LINE_SIDE
+)
 from metadrive_ped_tpu.mapgen.lanes import (
     HostStraightLane, create_bend_straight, create_wave_lanes, extend_straight_lane
 )
@@ -43,6 +45,11 @@ class PGBlockSocket:
             self.negative_road.start_node, self.negative_road.end_node
         )
 
+    def get_socket_in_reverse(self):
+        """Socket with positive/negative roads swapped
+        (reference: pg_block.py:44-50)."""
+        return PGBlockSocket(self.negative_road, self.positive_road)
+
 
 def _offset_lane(cur, direction):
     """Copy of a lane shifted one width laterally; direction=-1 left, +1 right
@@ -66,7 +73,7 @@ def _offset_lane(cur, direction):
 
 def create_road_from(lane, lane_num, road, block_network, side_line_type=LINE_SIDE,
                      center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_BROKEN,
-                     toward_smaller_lane_index=True):
+                     toward_smaller_lane_index=True, center_line_color=LINE_COLOR_YELLOW):
     """Clone ``lane`` laterally into lane_num lanes on ``road``.
 
     Geometry matches CreateRoadFrom (create_pg_block_utils.py:50-176).
@@ -95,13 +102,16 @@ def create_road_from(lane, lane_num, road, block_network, side_line_type=LINE_SI
         lane.line_types = [inner_line_type if lane_num > 1 else center_line_type, side_line_type]
     elif lane_num > 1:
         lane.line_types = [lane.line_types[0], lanes[-1].line_types[0]]
+    # center-line color on lane 0's left line (create_pg_block_utils.py:174)
+    lanes[0].line_colors = [center_line_color, LINE_COLOR_GREY]
     for l in lanes:
         block_network.add_lane(road.start_node, road.end_node, l)
     return True
 
 
 def create_adverse_road(positive_road, block_network, side_line_type=LINE_SIDE,
-                        center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_BROKEN):
+                        center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_BROKEN,
+                        center_line_color=LINE_COLOR_YELLOW):
     """Mirror of CreateAdverseRoad (create_pg_block_utils.py:203-260)."""
     adverse = -positive_road
     lanes = positive_road.get_lanes(block_network)
@@ -126,6 +136,38 @@ def create_adverse_road(positive_road, block_network, side_line_type=LINE_SIDE,
     return create_road_from(
         symmetric, len(lanes), adverse, block_network,
         side_line_type=side_line_type, center_line_type=center_line_type,
+        inner_line_type=inner_line_type, center_line_color=center_line_color,
+    )
+
+
+def create_two_way_road(road_to_change, block_network, new_road,
+                        center_line_type=LINE_CONTINUOUS, side_line_type=LINE_SIDE,
+                        inner_line_type=LINE_BROKEN):
+    """Overlay a reverse-direction road on the SAME physical lanes
+    (reference: create_pg_block_utils.py:284-356 CreateTwoWayRoad — the
+    offset is -(num-1)*width, so a 1-lane road reverses in place)."""
+    lanes = road_to_change.get_lanes(block_network)
+    reference_lane = lanes[-1]
+    num = len(lanes)
+    width = reference_lane.width_at(0)
+    if isinstance(reference_lane, HostStraightLane):
+        start_point = reference_lane.position(reference_lane.length, -(num - 1) * width)
+        end_point = reference_lane.position(0, -(num - 1) * width)
+        symmetric = HostStraightLane(start_point, end_point, width, list(reference_lane.line_types))
+    else:
+        from metadrive_ped_tpu.mapgen.lanes import HostCircularLane
+        new_clockwise = not reference_lane.is_clockwise()
+        radius = (
+            reference_lane.radius + (num - 1) * width if not new_clockwise
+            else reference_lane.radius - (num - 1) * width
+        )
+        symmetric = HostCircularLane(
+            reference_lane.center, radius, reference_lane.end_phase, reference_lane.angle,
+            new_clockwise, width, list(reference_lane.line_types)
+        )
+    return create_road_from(
+        symmetric, num, new_road, block_network,
+        center_line_type=center_line_type, side_line_type=side_line_type,
         inner_line_type=inner_line_type,
     )
 
@@ -196,7 +238,7 @@ class PGBlock:
         rs = np.random.RandomState(seed)
         self.config = {k: space.sample(rs) for k, space in self.PARAMETER_SPACE.items()}
 
-    def construct(self, config=None):
+    def construct(self, config=None, check_overlap=True):
         """Sample + build + merge into the global network; returns success."""
         self.number_of_sample_trial += 1
         self.sample_parameters()
@@ -207,7 +249,7 @@ class PGBlock:
         self._respawn_roads = []
         self._node_cnt = 0
         ok = self._try_plug_into_previous_block()
-        if ok:
+        if ok and check_overlap:
             ok = not self._intersects_existing()
         if ok:
             self.global_network.add(self.block_network)
@@ -437,9 +479,10 @@ class InterSection(PGBlock):
             return None
 
         # left-turn connector (intersection.py:167-230, diff==0 branch)
+        exit_part_length = self.config.get("exit_part_length", self.EXIT_PART_LENGTH)
         left_turn_radius = radius + lane_num * width
         left_bend, _ = create_bend_straight(
-            attach_left_lane, self.EXIT_PART_LENGTH, left_turn_radius,
+            attach_left_lane, exit_part_length, left_turn_radius,
             math.radians(self.ANGLE), False, width, [LINE_NONE, LINE_NONE]
         )
         create_road_from(
@@ -457,7 +500,7 @@ class InterSection(PGBlock):
         # right-turn connector + exit straight (intersection.py:129-160)
         right_turn_lane = attach_lanes[-1]
         right_bend, right_straight = create_bend_straight(
-            right_turn_lane, self.EXIT_PART_LENGTH, radius,
+            right_turn_lane, exit_part_length, radius,
             math.radians(self.ANGLE), True, width, [LINE_NONE, LINE_SIDE]
         )
         create_road_from(
@@ -1030,6 +1073,213 @@ class TollGate(PGBlock):
                 )
 
 
+class ParkingLot(PGBlock):
+    """Parking lot: a 1-lane two-way main aisle with 2N right-angle parking
+    spaces, N on each side (reference: pgblock/parking_lot.py:13-333).
+
+    Each space k (part index 1..2N) is a small road graph:
+      node(k,1)->(k,2)  in-direction parking space (a destination)
+      node(k,5)->(k,6)  the SAME physical span reversed (two-way road;
+                        spawn road for vehicles leaving the lot)
+    plus 90-degree entry/exit bends connecting both main-aisle directions.
+    """
+
+    ID = "P"
+    ANGLE = math.radians(90.0)
+    SOCKET_LENGTH = 4.0
+    PARAMETER_SPACE = {
+        Parameter.one_side_vehicle_num: spaces.DiscreteSpace(2, 10),
+        Parameter.radius: spaces.ConstantSpace(4.0),
+        Parameter.length: spaces.ConstantSpace(8.0),
+    }
+
+    def _lanes_of(self, road):
+        """Lanes of a road living in either the block or global network."""
+        try:
+            return road.get_lanes(self.block_network)
+        except KeyError:
+            return road.get_lanes(self.global_network)
+
+    def _try_plug_into_previous_block(self):
+        self.spawn_roads = []
+        self.dest_roads = []
+        para = self.config
+        assert self.positive_lane_num == 1, \
+            "Lane number of previous block must be 1 in each direction"
+        self.parking_space_length = para[Parameter.length]
+        self.parking_space_width = self.lane_width
+        n = int(para[Parameter.one_side_vehicle_num])
+        radius = para[Parameter.radius]
+
+        # main aisle (parking_lot.py:38-66): broken grey center, no side line
+        main_len = 2 * radius + (n - 1) * self.parking_space_width
+        main_lane = extend_straight_lane(
+            self.positive_lanes[0], main_len, [LINE_BROKEN, LINE_NONE]
+        )
+        road = Road(self.pre_block_socket.positive_road.end_node, self.road_node(0, 0))
+        create_road_from(
+            main_lane, 1, road, self.block_network,
+            center_line_type=LINE_BROKEN, inner_line_type=LINE_BROKEN,
+            side_line_type=LINE_NONE, center_line_color=LINE_COLOR_GREY,
+        )
+        create_adverse_road(
+            road, self.block_network,
+            center_line_type=LINE_BROKEN, inner_line_type=LINE_BROKEN,
+            side_line_type=LINE_NONE, center_line_color=LINE_COLOR_GREY,
+        )
+
+        # out socket (parking_lot.py:68-96)
+        out_lane = extend_straight_lane(main_lane, self.SOCKET_LENGTH, [LINE_BROKEN, LINE_NONE])
+        out_road = Road(self.road_node(0, 0), self.road_node(0, 1))
+        create_road_from(
+            out_lane, 1, out_road, self.block_network,
+            center_line_type=LINE_BROKEN, inner_line_type=LINE_BROKEN,
+            side_line_type=LINE_SIDE,
+        )
+        create_adverse_road(
+            out_road, self.block_network,
+            center_line_type=LINE_BROKEN, inner_line_type=LINE_BROKEN,
+            side_line_type=LINE_SIDE,
+        )
+        socket = self.create_socket_from_positive_road(out_road)
+        self.add_sockets(socket)
+
+        # one side entered driving back from the socket, the other driving in
+        # from the previous block (parking_lot.py:98-113)
+        w = self.parking_space_width
+        for i in range(n):
+            self._add_one_parking_space(
+                socket.get_socket_in_reverse(),
+                self.pre_block_socket.get_socket_in_reverse(),
+                i + 1, radius, i * w, (n - i - 1) * w,
+            )
+        for i in range(n, 2 * n):
+            j = i - n
+            self._add_one_parking_space(
+                self.pre_block_socket, socket, i + 1, radius, j * w, (n - j - 1) * w
+            )
+        return True
+
+    def _add_one_parking_space(self, in_socket, out_socket, part_idx, radius,
+                               dist_to_in, dist_to_out):
+        """One space + its four connector bends (parking_lot.py:116-333)."""
+        w = self.parking_space_width
+        NONE = dict(center_line_type=LINE_NONE, inner_line_type=LINE_NONE,
+                    side_line_type=LINE_NONE)
+
+        # entry from in_socket: optional straight, right 90-degree bend,
+        # then the space itself (in direction)
+        in_lane = self._lanes_of(in_socket.positive_road)[0]
+        start_node = in_socket.positive_road.end_node
+        if dist_to_in > 1e-3:
+            in_lane = extend_straight_lane(in_lane, dist_to_in, [LINE_NONE, LINE_NONE])
+            create_road_from(
+                in_lane, 1, Road(start_node, self.road_node(part_idx, 0)),
+                self.block_network, **NONE,
+            )
+            start_node = self.road_node(part_idx, 0)
+        side = LINE_SIDE if dist_to_in < 1e-3 else LINE_NONE
+        bend, straight = create_bend_straight(
+            in_lane, self.parking_space_length, radius, self.ANGLE, True, w
+        )
+        create_road_from(
+            bend, 1, Road(start_node, self.road_node(part_idx, 1)),
+            self.block_network, center_line_type=LINE_NONE,
+            inner_line_type=LINE_NONE, side_line_type=side,
+        )
+        straight_road = Road(self.road_node(part_idx, 1), self.road_node(part_idx, 2))
+        self.dest_roads.append(straight_road)
+        create_road_from(
+            straight, 1, straight_road, self.block_network,
+            center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_NONE,
+            side_line_type=side, center_line_color=LINE_COLOR_GREY,
+        )
+
+        # entry from the out_socket direction: left 90-degree bend joining
+        # the same space entrance (parking_lot.py:179-233)
+        neg_lane = self._lanes_of(out_socket.negative_road)[0]
+        start_node = out_socket.negative_road.end_node
+        if dist_to_out > 1e-3:
+            neg_lane = extend_straight_lane(neg_lane, dist_to_out, [LINE_NONE, LINE_NONE])
+            create_road_from(
+                neg_lane, 1, Road(start_node, self.road_node(part_idx, 3)),
+                self.block_network, **NONE,
+            )
+            start_node = self.road_node(part_idx, 3)
+        bend, straight = create_bend_straight(
+            neg_lane, self.lane_width, radius, self.ANGLE, False, w
+        )
+        create_road_from(
+            bend, 1, Road(start_node, self.road_node(part_idx, 4)),
+            self.block_network, **NONE,
+        )
+        create_road_from(
+            straight, 1, Road(self.road_node(part_idx, 4), self.road_node(part_idx, 1)),
+            self.block_network, **NONE,
+        )
+
+        # the space as a two-way road: (k,5)->(k,6) reverses (k,1)->(k,2)
+        parking_road = Road(self.road_node(part_idx, 5), self.road_node(part_idx, 6))
+        self.spawn_roads.append(parking_road)
+        create_two_way_road(
+            straight_road, self.block_network, parking_road,
+            center_line_type=LINE_NONE, inner_line_type=LINE_NONE,
+            side_line_type=LINE_SIDE if dist_to_out < 1e-3 else LINE_NONE,
+        )
+        parking_lane = parking_road.get_lanes(self.block_network)[0]
+
+        # exit 1: right bend toward out_socket (parking_lot.py:249-286)
+        out_side = LINE_SIDE if dist_to_out < 1e-3 else LINE_NONE
+        bend, straight = create_bend_straight(
+            parking_lane, 0.1 if dist_to_out < 1e-3 else dist_to_out,
+            radius, self.ANGLE, True, w
+        )
+        out_end = (
+            self.road_node(part_idx, 7) if dist_to_out > 1e-3
+            else out_socket.positive_road.start_node
+        )
+        create_road_from(
+            bend, 1, Road(self.road_node(part_idx, 6), out_end),
+            self.block_network, center_line_type=LINE_NONE,
+            inner_line_type=LINE_NONE, side_line_type=out_side,
+        )
+        if dist_to_out > 1e-3:
+            create_road_from(
+                straight, 1,
+                Road(self.road_node(part_idx, 7), out_socket.positive_road.start_node),
+                self.block_network, **NONE,
+            )
+
+        # exit 2: short extension + left bend back toward in_socket
+        # (parking_lot.py:287-331)
+        ext = extend_straight_lane(parking_lane, self.lane_width, [LINE_NONE, LINE_NONE])
+        create_road_from(
+            ext, 1, Road(self.road_node(part_idx, 6), self.road_node(part_idx, 8)),
+            self.block_network, **NONE,
+        )
+        bend, straight = create_bend_straight(
+            ext, 0.1 if dist_to_in < 1e-3 else dist_to_in, radius, self.ANGLE, False, w
+        )
+        out_end = (
+            self.road_node(part_idx, 9) if dist_to_in > 1e-3
+            else in_socket.negative_road.start_node
+        )
+        create_road_from(
+            bend, 1, Road(self.road_node(part_idx, 8), out_end),
+            self.block_network, **NONE,
+        )
+        if dist_to_in > 1e-3:
+            create_road_from(
+                straight, 1,
+                Road(self.road_node(part_idx, 9), in_socket.negative_road.start_node),
+                self.block_network, **NONE,
+            )
+
+    def get_intermediate_spawn_lanes(self):
+        """No background traffic inside the lot."""
+        return []
+
+
 class Fork(Ramp):
     """Fork base (reference: pgblock/fork.py:15-19)."""
 
@@ -1073,6 +1323,7 @@ PG_BLOCKS = {
     "Y": Split,
     "B": Bidirection,
     "$": TollGate,
+    "P": ParkingLot,
     "f": InFork,
     "F": OutFork,
 }

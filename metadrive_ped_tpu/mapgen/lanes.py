@@ -38,6 +38,9 @@ class HostLane:
     def __init__(self, width, line_types, speed_limit=1000.0):
         self.width = float(width)
         self.line_types = list(line_types) if line_types else [LINE_BROKEN, LINE_BROKEN]
+        # [left, right] colors; yellow center lines set by create_road_from
+        # (reference: create_pg_block_utils.py:174 lanes[0].line_colors)
+        self.line_colors = [0, 0]  # LINE_COLOR_GREY
         self.speed_limit = float(speed_limit)
         self.index = None  # (start_node, end_node, i) once added to a network
         self.forbidden = False

