@@ -98,6 +98,15 @@ class BaseVectorEnv:
                 random_dynamics=None,
                 decision_repeat=5,
                 physics_world_step_size=0.02,
+                # camera observation family (reference: obs/image_obs.py +
+                # component/sensors/*_camera.py; rendered here by the
+                # TPU raycast renderer, ops/camera.py)
+                image_observation=False,
+                norm_pixel=True,
+                stack_size=3,
+                image_source="main_camera",
+                sensors=dict(main_camera=("rgb", 84, 84)),
+                camera=dict(fov=66.0, pitch=0.0, height=1.4, max_dist=50.0),
                 vehicle_config=dict(
                     enable_reverse=False,
                     max_engine_force=800.0,
@@ -153,6 +162,9 @@ class BaseVectorEnv:
         self._state = None
         self._step_jit = jax.jit(functools.partial(self._step_impl), donate_argnums=0)
         self._reset_jit = jax.jit(functools.partial(self._reset_impl))
+        self._img_stack = None
+        if cfg["image_observation"]:
+            self._render_jit = jax.jit(self._render_frame)
 
     # ------------------------------------------------------------------ API
     @property
@@ -163,7 +175,18 @@ class BaseVectorEnv:
     @property
     def observation_space(self):
         import gymnasium as gym
-        return gym.spaces.Box(-0.0, 1.0, shape=(self.observation_dim,), dtype=np.float32)
+        state_space = gym.spaces.Box(-0.0, 1.0, shape=(self.observation_dim,), dtype=np.float32)
+        if not self.config["image_observation"]:
+            return state_space
+        modality, w, h = self._sensor_spec()
+        channels = 1 if modality == "depth" else 3
+        shape = (h, w, channels, self.config["stack_size"])
+        img_space = (
+            gym.spaces.Box(-0.0, 1.0, shape=shape, dtype=np.float32)
+            if self.config["norm_pixel"]
+            else gym.spaces.Box(0, 255, shape=shape, dtype=np.uint8)
+        )
+        return gym.spaces.Dict({"image": img_space, "state": state_space})
 
     @property
     def action_space(self):
@@ -202,13 +225,51 @@ class BaseVectorEnv:
         rng = jax.random.PRNGKey(0 if seed is None else seed)
         self._state, obs, info = self._reset_jit(rng)
         self._last_obs = obs
+        if self.config["image_observation"]:
+            self._img_stack = None
+            obs = self._image_obs(obs)
         return obs, info
 
     def step(self, actions):
         actions = self._convert_actions(actions)
         self._state, obs, reward, terminated, truncated, info = self._step_jit(self._state, actions)
         self._last_obs = obs
+        if self.config["image_observation"]:
+            obs = self._image_obs(obs)
         return obs, reward, terminated, truncated, info
+
+    # ---- camera observation assembly (ImageStateObservation,
+    #      obs/image_obs.py:16-44; frame stack semantics of ImageObservation
+    #      .observe — roll the stack, newest frame last) -------------------
+    def _sensor_spec(self):
+        cfg = self.config
+        modality, w, h = cfg["sensors"][cfg["image_source"]]
+        return str(modality), int(w), int(h)
+
+    def _render_frame(self, state):
+        from metadrive_ped_tpu.ops import camera as cam_ops
+        modality, w, h = self._sensor_spec()
+        targets, kinds = self._lidar_targets(state)
+        cam = self.config["camera"]
+        out = cam_ops.render(
+            self.scene, state.sidx, state.ego, targets, kinds,
+            self.scene.obj_kind[state.sidx],
+            width=w, height=h, fov_deg=cam["fov"], pitch_deg=cam["pitch"],
+            cam_height=cam["height"], max_dist=cam["max_dist"],
+        )
+        return out[modality]
+
+    def _image_obs(self, state_obs_vec):
+        frame = np.asarray(self._render_jit(self._state))  # [E, H, W, C]
+        if not self.config["norm_pixel"]:
+            frame = (frame * 255).astype(np.uint8)
+        if self._img_stack is None:
+            self._img_stack = np.zeros(
+                frame.shape + (self.config["stack_size"],), frame.dtype
+            )
+        self._img_stack = np.roll(self._img_stack, -1, axis=-1)
+        self._img_stack[..., -1] = frame
+        return {"image": self._img_stack.copy(), "state": state_obs_vec}
 
     # -- state snapshots (the reference's record/replay substrate:
     #    engine.dump_episode / ReplayManager force-set,
