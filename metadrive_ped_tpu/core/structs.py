@@ -210,6 +210,8 @@ class SimState:
     dead_timer: jnp.ndarray      # [E] MARL delay-done countdown (0 = alive)
     aux: jnp.ndarray             # [E, 4] env-family-specific counters
                                  # (e.g. tollgate stay time); zeroed on spawn
+    policy_state: jnp.ndarray    # [E, 4] agent-policy PID/latch state
+                                 # (lane-change PIDs, AI-protector takeover)
     ego: EgoState
     npc: NpcState
     ped: PedState

@@ -93,6 +93,13 @@ class BaseVectorEnv:
                 use_multi_discrete=False,
                 discrete_steering_dim=5,
                 discrete_throttle_dim=5,
+                # agent policy family (reference: policy/lange_change_policy.py,
+                # AI_protect_policy.py, manual_control_policy.py)
+                agent_policy=None,        # None | "lane_change"
+                use_AI_protector=False,   # expert veto of dangerous actions
+                save_level=0.5,
+                manual_control=False,     # host-side controller overrides row 0
+                controller="keyboard",
                 # per-episode randomized dynamics (varying_dynamics_env.py);
                 # dict of param -> (min, max) or None
                 random_dynamics=None,
@@ -142,6 +149,25 @@ class BaseVectorEnv:
         if config:
             self.config.update(config)
         cfg = self.config
+        if cfg["agent_policy"] == "lane_change":
+            # LaneChangePolicy forces discrete 3-way steering [left, keep,
+            # right] (lange_change_policy.py:17-24)
+            assert cfg["discrete_action"], \
+                "Must set discrete_action=True for using LaneChangePolicy"
+            cfg.force_set("discrete_steering_dim", 3)
+        if cfg["use_AI_protector"]:
+            lidar = cfg["vehicle_config"]["lidar"]
+            assert lidar["num_lasers"] == 240 and lidar["num_others"] == 4, (
+                "AI protector needs the expert observation layout "
+                "(lidar num_lasers=240, num_others=4), like the reference's "
+                "expert obs-mismatch guard (AI_protect_policy.py:16-21)"
+            )
+            from metadrive_ped_tpu.policies.expert import load_expert_params
+            self._expert_params = load_expert_params()
+        self._manual_controller = None
+        if cfg["manual_control"]:
+            from metadrive_ped_tpu.policies.manual import make_controller
+            self._manual_controller = make_controller(cfg["controller"])
         seeds = list(range(cfg["start_seed"], cfg["start_seed"] + cfg["num_scenarios"]))
         map_cfg = dict(cfg["map_config"])
         map_cfg["config"] = cfg["map"]
@@ -232,7 +258,19 @@ class BaseVectorEnv:
 
     def step(self, actions):
         actions = self._convert_actions(actions)
-        self._state, obs, reward, terminated, truncated, info = self._step_jit(self._state, actions)
+        if self._manual_controller is not None:
+            # host-side human input drives env row 0 (ManualControlPolicy;
+            # the tracked agent in the reference)
+            actions = jnp.asarray(actions)
+            manual = self._manual_controller.process_input()
+            if manual is not None:
+                actions = actions.at[0].set(jnp.asarray(manual, jnp.float32))
+        if self.config["use_AI_protector"]:
+            self._state, obs, reward, terminated, truncated, info = self._step_jit(
+                self._state, actions, self._last_obs
+            )
+        else:
+            self._state, obs, reward, terminated, truncated, info = self._step_jit(self._state, actions)
         self._last_obs = obs
         if self.config["image_observation"]:
             obs = self._image_obs(obs)
@@ -381,6 +419,7 @@ class BaseVectorEnv:
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
             episode_reward=zeros, episode_cost=zeros,
             dead_timer=jnp.zeros(E, jnp.int32), aux=jnp.zeros((E, 4)),
+            policy_state=jnp.zeros((E, 4)),
             ego=ego, npc=npc, ped=ped,
         )
 
@@ -487,7 +526,7 @@ class BaseVectorEnv:
         )
 
     # ------------------------------------------------------------------ step
-    def _step_impl(self, state, actions):
+    def _step_impl(self, state, actions, prev_obs=None):
         cfg = self.config
         scene = self.scene
         E = self.num_envs
@@ -495,6 +534,12 @@ class BaseVectorEnv:
         # (reference _preprocess_action -> safe_clip_for_small_array,
         # base_vehicle.py:204-209 + utils/math.py:16-26)
         actions = jnp.clip(jnp.nan_to_num(actions, nan=0.0, posinf=1.0, neginf=-1.0), -1.0, 1.0)
+
+        takeover_info = None
+        if cfg["agent_policy"] == "lane_change":
+            state, actions = self._lane_change_actions(state, actions)
+        if cfg["use_AI_protector"] and prev_obs is not None:
+            state, actions, takeover_info = self._ai_protect(state, actions, prev_obs)
 
         ego = state.ego
         # before_step (base_vehicle.py:211-232): save last kinematics, apply action
@@ -617,6 +662,8 @@ class BaseVectorEnv:
         )
         info.update(done_info)
         info.update(cost_info)
+        if takeover_info is not None:
+            info.update(takeover_info)
 
         # auto-reset done envs in place (vectorized-RL semantics replacing
         # the reference's explicit env.reset())
@@ -641,6 +688,110 @@ class BaseVectorEnv:
 
         obs = self._observe(state, ego_long, ego_lat)
         return state, obs, reward, terminated, truncated, info
+
+    # ---- agent policies -----------------------------------------------------
+    def _lane_change_actions(self, state, actions):
+        """LaneChangePolicy (policy/lange_change_policy.py:11-72): discrete
+        steering {-1: right, 0: keep, +1: left} selects a target lane; the
+        applied steering is a heading PID + lateral PID toward it.
+        policy_state = (heading_i, heading_prev_e, lateral_i, lateral_prev_e).
+        """
+        from metadrive_ped_tpu.ops.idm import _pid
+        from metadrive_ped_tpu.ops.math_ops import wrap_to_pi
+
+        scene, ego = self.scene, state.ego
+        cmd = actions[:, 0]
+        g = lane_geom.gather_lane(scene, state.sidx, ego.lane)
+        target = jnp.where(
+            cmd > 0.5, jnp.where(g["left"] >= 0, g["left"], ego.lane),
+            jnp.where(cmd < -0.5, jnp.where(g["right"] >= 0, g["right"], ego.lane), ego.lane),
+        )
+        gt = lane_geom.gather_lane(scene, state.sidx, target)
+        long, lat = lane_geom.local_coordinates(gt, ego.pos)
+        lane_heading = lane_geom.heading_theta_at(gt, long + 1.0)
+        herr = -wrap_to_pi(lane_heading - ego.heading)
+        ps = state.policy_state
+        # gains from the reference (lange_change_policy.py:26-27); the error
+        # signs match the IDM steering kernel's convention (ops/idm.py:148-150)
+        s_h, h_i, h_e = _pid((1.7, 0.01, 3.5), herr, ps[:, 0], ps[:, 1])
+        s_l, l_i, l_e = _pid((0.3, 0.002, 0.05), -lat, ps[:, 2], ps[:, 3])
+        steering = jnp.clip(s_h + s_l, -1.0, 1.0)
+        new_ps = jnp.stack([h_i, h_e, l_i, l_e], axis=-1)
+        return (
+            state.replace(policy_state=new_ps),
+            jnp.stack([steering, actions[:, 1]], axis=-1),
+        )
+
+    def _ai_protect(self, state, actions, prev_obs):
+        """AIProtectPolicy / TakeoverPolicy (policy/AI_protect_policy.py):
+        the PPO expert vetoes dangerous user actions. save_level > 0.9 means
+        full takeover; otherwise the expert intervenes near road boundaries
+        (obs dims 0/1) and when lidar shows imminent side/front collisions.
+        policy_state[:, 3] latches last step's takeover flag (for
+        takeover_start/takeover_end info keys)."""
+        from metadrive_ped_tpu.ops import localization
+        from metadrive_ped_tpu.policies.expert import expert_action
+
+        cfg = self.config
+        ego = state.ego
+        save_level = cfg["save_level"]
+        saver = expert_action(self._expert_params, prev_obs)
+        steering, throttle = actions[:, 0], actions[:, 1]
+
+        if save_level > 0.9:
+            new_s, new_t = saver[:, 0], saver[:, 1]
+        elif save_level > 1e-3:
+            hd = localization.heading_diff_ref(
+                self.scene, state.sidx, ego.slot, ego.route_idx, ego.pos, ego.heading
+            ) - 0.5
+            speed_kmh = ego.speed * 3.6
+            f = jnp.minimum(
+                1 + jnp.abs(hd) * speed_kmh * ego.params.max_speed_kmh, save_level * 10
+            )
+            o0, o1 = prev_obs[:, 0], prev_obs[:, 1]
+            out_of_road = (
+                ((o0 < 0.04 * f) & (hd < 0)) | ((o1 < 0.04 * f) & (hd > 0))
+                | (o0 <= 1e-3) | (o1 <= 1e-3)
+            )
+            new_s = jnp.where(out_of_road, saver[:, 0], steering)
+            new_t = jnp.where(out_of_road, saver[:, 1], throttle)
+            new_t = jnp.where(out_of_road & (speed_kmh < 5), 0.5, new_t)
+            # collision guards on the lidar tail of the expert obs
+            n = cfg["vehicle_config"]["lidar"]["num_lasers"]
+            cloud = prev_obs[:, -n:]
+            left, right = n // 4, n // 4 * 3
+            side_close = (
+                cloud[:, left - 4:left + 6].min(axis=1) < (save_level + 0.1) / 10
+            ) | (
+                cloud[:, right - 4:right + 6].min(axis=1) < (save_level + 0.1) / 10
+            )
+            new_s = jnp.where(side_close, saver[:, 0], new_s)
+            front_close = jnp.minimum(
+                cloud[:, :10].min(axis=1), cloud[:, -10:].min(axis=1)
+            ) < save_level
+            brake = (throttle >= 0) & (saver[:, 1] <= 0) & front_close
+            new_t = jnp.where(brake, saver[:, 1], new_t)
+        else:
+            new_s, new_t = steering, throttle
+
+        takeover = (new_s != steering) | (new_t != throttle)
+        pre = state.policy_state[:, 3] > 0.5
+        # the saver action is applied only from the SECOND consecutive
+        # takeover step, exactly like the reference
+        # (AI_protect_policy.py:49-57: action replaced iff takeover and
+        # pre_save)
+        apply = takeover & pre
+        info = dict(
+            takeover=apply,
+            takeover_start=takeover & ~pre,
+            takeover_end=~takeover & pre,
+        )
+        ps = state.policy_state.at[:, 3].set(takeover.astype(jnp.float32))
+        out_actions = jnp.stack(
+            [jnp.where(apply, new_s, steering), jnp.where(apply, new_t, throttle)],
+            axis=-1,
+        )
+        return state.replace(policy_state=ps), out_actions, info
 
     # ---- overridable scheme ------------------------------------------------
     def _pre_reward_update(self, state, loc):
