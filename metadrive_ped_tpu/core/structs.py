@@ -40,6 +40,12 @@ class Scene:
     road_valid: jnp.ndarray
     route_roads: jnp.ndarray   # [S, SLOT, K] per-spawn-slot checkpoint roads
     route_len: jnp.ndarray     # [S, SLOT]
+    # PG traffic lights (opt-in; see mapgen/scene.py)
+    light_lane: jnp.ndarray    # [S, LT]
+    light_long: jnp.ndarray    # [S, LT]
+    light_pos: jnp.ndarray     # [S, LT, 2]
+    light_offset: jnp.ndarray  # [S, LT] phase offset in steps
+    light_valid: jnp.ndarray   # [S, LT]
     slot_lane: jnp.ndarray     # [S, SLOT] spawn lane id
     slot_long: jnp.ndarray     # [S, SLOT] spawn longitude
     slot_valid: jnp.ndarray    # [S, SLOT]
@@ -207,6 +213,7 @@ class SimState:
     step_count: jnp.ndarray     # [E] episode length so far
     episode_reward: jnp.ndarray  # [E]
     episode_cost: jnp.ndarray    # [E]
+    episode_energy: jnp.ndarray  # [E] fuel use in mL (base_vehicle.py:259-271)
     dead_timer: jnp.ndarray      # [E] MARL delay-done countdown (0 = alive)
     aux: jnp.ndarray             # [E, 4] env-family-specific counters
                                  # (e.g. tollgate stay time); zeroed on spawn

@@ -83,6 +83,10 @@ class BaseVectorEnv:
                 traffic_mode="trigger",  # "trigger" | "respawn" (traffic_manager.py:20-29)
                 accident_prob=0.0,       # metadrive_env.py:51
                 static_traffic_object=True,
+                # opt-in traffic lights at PG intersection approaches
+                # (BaseTrafficLight components; cycle green/yellow durations
+                # in env steps, opposite arms alternating)
+                pg_traffic_lights=False,
                 pedestrian_density=0.0,  # TPU-build extension (the _ped fork's
                                          # participants on PG maps)
                 horizon=None,
@@ -180,6 +184,7 @@ class BaseVectorEnv:
                 pedestrian_density=cfg["pedestrian_density"],
                 spawn_roads=cfg.get("spawn_roads"),
                 spawn_dest_nodes=cfg.get("spawn_dest_nodes"),
+                pg_traffic_lights=cfg["pg_traffic_lights"],
             ),
         )
         self.scene = Scene.from_pack(pack)
@@ -398,6 +403,8 @@ class BaseVectorEnv:
         npc_pos = lane_geom.position(gn, npc_long, jnp.zeros_like(npc_long))
         npc_heading = lane_geom.heading_theta_at(gn, npc_long)
         nz = jnp.zeros_like(npc_long)
+        # Respawn: all NPCs live immediately. Trigger/Hybrid: released when
+        # the ego enters the trigger road (traffic_manager.py:20-29, 69).
         respawn_mode = self.config["traffic_mode"] == "respawn"
         active = scene.npc_valid[sidx]
         npc = NpcState(
@@ -417,7 +424,7 @@ class BaseVectorEnv:
         )
         return SimState(
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
-            episode_reward=zeros, episode_cost=zeros,
+            episode_reward=zeros, episode_cost=zeros, episode_energy=zeros,
             dead_timer=jnp.zeros(E, jnp.int32), aux=jnp.zeros((E, 4)),
             policy_state=jnp.zeros((E, 4)),
             ego=ego, npc=npc, ped=ped,
@@ -575,9 +582,11 @@ class BaseVectorEnv:
         trig = scene.npc_trigger_road[state.sidx]  # [E,N]
         released = npc.released | (trig == cur_road[:, None])
         npc = npc.replace(released=released)
+        # hybrid = trigger release + respawn-style recycling at lane end
+        # (traffic_manager.py:27-28, 104-112)
         npc = idm.step_npcs(
             scene, state.sidx, npc, ego, dt=dt, substeps=rep,
-            respawn_mode=cfg["traffic_mode"] == "respawn",
+            respawn_mode=cfg["traffic_mode"] in ("respawn", "hybrid"),
         )
 
         # pedestrians / cyclists advance kinematically
@@ -638,7 +647,14 @@ class BaseVectorEnv:
 
         episode_reward = state.episode_reward + reward
         episode_cost = state.episode_cost + cost
-        state = state.replace(episode_reward=episode_reward, episode_cost=episode_cost)
+        # fuel model 3.25*e^(0.01 v_kmh) L/100km (base_vehicle.py:259-271)
+        dist_km = jnp.sqrt(((ego.pos - ego.last_pos) ** 2).sum(-1)) / 1000.0
+        step_energy = 3.25 * jnp.exp(0.01 * ego.speed * 3.6) * dist_km / 100.0 * 1000.0
+        episode_energy = state.episode_energy + step_energy
+        state = state.replace(
+            episode_reward=episode_reward, episode_cost=episode_cost,
+            episode_energy=episode_energy,
+        )
 
         state, terminated, truncated = self._post_done(state, terminated, truncated)
         done = terminated | truncated
@@ -657,6 +673,7 @@ class BaseVectorEnv:
             max_step=truncated, cost=cost, total_cost=episode_cost,
             step_reward=step_info["step_reward"],
             velocity=ego.speed, steering=ego.steering, acceleration=ego.throttle,
+            step_energy=step_energy, episode_energy=episode_energy,
             episode_reward=episode_reward, episode_length=step_count,
             env_seed=state.sidx + cfg["start_seed"],
         )
@@ -664,6 +681,23 @@ class BaseVectorEnv:
         info.update(cost_info)
         if takeover_info is not None:
             info.update(takeover_info)
+
+        # traffic-light proximity flags (BaseTrafficLight contact detection,
+        # base_vehicle.py:720-733; scenario env uses the same 4 m rule)
+        if scene.light_lane.shape[1] > 0 and cfg["pg_traffic_lights"]:
+            lcfg = cfg["pg_traffic_lights"]
+            g_dur = int(lcfg.get("green", 30)) if isinstance(lcfg, dict) else 30
+            y_dur = int(lcfg.get("yellow", 4)) if isinstance(lcfg, dict) else 4
+            half = g_dur + y_dur
+            phase = (state.step_count[:, None] + scene.light_offset[state.sidx]) % (2 * half)
+            status = jnp.where(phase < g_dur, 0, jnp.where(phase < half, 1, 2))  # g/y/r
+            lpos = scene.light_pos[state.sidx]
+            near = (
+                jnp.sqrt(((lpos - ego.pos[:, None, :]) ** 2).sum(-1)) < 4.0
+            ) & scene.light_valid[state.sidx]
+            info["on_green_light"] = (near & (status == 0)).any(axis=1)
+            info["on_yellow_light"] = (near & (status == 1)).any(axis=1)
+            info["on_red_light"] = (near & (status == 2)).any(axis=1)
 
         # auto-reset done envs in place (vectorized-RL semantics replacing
         # the reference's explicit env.reset())

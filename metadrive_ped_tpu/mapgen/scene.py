@@ -259,6 +259,37 @@ def compile_scene(seed, config):
         route_roads[i, :len(r)] = r
         route_len[i] = len(r)
 
+    # ---- PG traffic lights (the reference ships BaseTrafficLight lane
+    #      components, component/traffic_light/base_traffic_light.py, but no
+    #      PG-map light manager — lights are placed per-test. Here an opt-in
+    #      compiler pass lights every intersection approach with an
+    #      alternating signal cycle.) ----------------------------------------
+    lights_cfg = config.get("pg_traffic_lights") or None
+    light_lane, light_long, light_pos, light_offset = [], [], [], []
+    if lights_cfg:
+        from metadrive_ped_tpu.mapgen.blocks import InterSection
+        g_dur = int(lights_cfg.get("green", 30)) if isinstance(lights_cfg, dict) else 30
+        y_dur = int(lights_cfg.get("yellow", 4)) if isinstance(lights_cfg, dict) else 4
+        half = g_dur + y_dur
+        for block in blocks[1:]:
+            if not isinstance(block, InterSection):
+                continue
+            approaches = [block.pre_block_socket.positive_road] + [
+                s.negative_road for s in block.get_socket_list()
+            ]
+            for arm, rd in enumerate(approaches):
+                try:
+                    lanes = rd.get_lanes(network)
+                except KeyError:
+                    continue
+                for lane in lanes:
+                    light_lane.append(lane_list.index(lane))
+                    light_long.append(lane.length)
+                    light_pos.append(np.asarray(lane.position(lane.length, 0), np.float32))
+                    # opposite arms share a phase (0/2 vs 1/3)
+                    light_offset.append((arm % 2) * half)
+    LT = len(light_lane)
+
     # ---- boundary segments ------------------------------------------------
     seg_p0, seg_p1, seg_type, seg_halfwidth = [], [], [], []
 
@@ -451,6 +482,11 @@ def compile_scene(seed, config):
         road_lane0=road_lane0, road_nlanes=road_nlanes, road_negative=road_negative,
         road_succ=road_succ, road_valid=np.ones(R, bool),
         route_roads=route_roads, route_len=route_len,
+        light_lane=np.asarray(light_lane, np.int32),
+        light_long=np.asarray(light_long, np.float32),
+        light_pos=np.asarray(light_pos, np.float32).reshape(LT, 2),
+        light_offset=np.asarray(light_offset, np.int32),
+        light_valid=np.ones(LT, bool),
         slot_lane=np.asarray(slot_lane, np.int32), slot_long=np.asarray(slot_long, np.float32),
         slot_valid=np.ones(SLOT, bool),
         seg_p0=np.asarray(seg_p0, np.float32).reshape(B, 2),

@@ -77,3 +77,60 @@ def test_export_scenarios_schema():
         sdc = sd[ScenarioDescription.TRACKS]["sdc"]
         pos = sdc[ScenarioDescription.STATE][ScenarioDescription.POSITION]
         assert np.linalg.norm(pos[-1, :2] - pos[0, :2]) > 1.0, "sdc should move"
+
+
+def test_energy_info_keys():
+    """Fuel model 3.25*e^(0.01 v) L/100km (base_vehicle.py:259-271)."""
+    from metadrive_ped_tpu import MetaDriveEnv
+    env = MetaDriveEnv(dict(num_envs=2, map="S", num_scenarios=1, traffic_density=0.0))
+    env.reset(seed=0)
+    tot = 0.0
+    for _ in range(20):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 1.0], (2, 1)))
+        assert "step_energy" in inf and "episode_energy" in inf
+        tot = float(np.asarray(inf["episode_energy"]).max())
+    assert tot > 0.1, "driving must consume fuel"
+    # stationary vehicle consumes (almost) nothing
+    env2 = MetaDriveEnv(dict(num_envs=1, map="S", num_scenarios=1, traffic_density=0.0))
+    env2.reset(seed=0)
+    for _ in range(5):
+        obs, r, te, tr, inf = env2.step(np.zeros((1, 2), np.float32))
+    assert float(np.asarray(inf["episode_energy"])[0]) < 1e-3
+
+
+def test_pg_traffic_lights_cycle():
+    """Opt-in PG intersection lights: alternating phases, proximity flags."""
+    from metadrive_ped_tpu import MetaDriveEnv
+    env = MetaDriveEnv(dict(num_envs=1, map="SXS", num_scenarios=1, traffic_density=0.0,
+                            pg_traffic_lights=dict(green=10, yellow=2)))
+    env.reset(seed=0)
+    pack = env._pack
+    assert pack["light_lane"].shape[1] == 12, "4 approaches x 3 lanes"
+    # opposite arms share phase offsets {0, green+yellow}
+    offs = set(pack["light_offset"][0].tolist())
+    assert offs == {0, 12}
+    flags = set()
+    for _ in range(150):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 1.0], (1, 1)))
+        for k in ("on_red_light", "on_yellow_light", "on_green_light"):
+            assert k in inf
+            if bool(np.asarray(inf[k])[0]):
+                flags.add(k)
+    assert flags, "driving through the intersection must touch a light state"
+
+
+def test_hybrid_traffic_mode():
+    """Hybrid: trigger-released NPCs recycle at lane end
+    (traffic_manager.py:27-28)."""
+    from metadrive_ped_tpu import MetaDriveEnv
+    env = MetaDriveEnv(dict(num_envs=2, map="SS", num_scenarios=1,
+                            traffic_density=0.3, traffic_mode="hybrid"))
+    env.reset(seed=0)
+    # NPCs exist but are not released before the ego reaches their block
+    rel0 = int(np.asarray(env._state.npc.released).sum())
+    for _ in range(60):
+        env.step(np.tile([0.0, 1.0], (2, 1)))
+    rel1 = int(np.asarray(env._state.npc.released).sum())
+    act1 = int(np.asarray(env._state.npc.active).sum())
+    assert rel1 > rel0, "ego progress must trigger-release NPCs"
+    assert act1 > 0, "recycling keeps NPCs alive in hybrid mode"
