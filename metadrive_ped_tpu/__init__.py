@@ -18,7 +18,7 @@ Public API mirrors the reference's env surface:
 from metadrive_ped_tpu.version import VERSION, __version__
 
 __all__ = [
-    "MetaDriveEnv", "SafeMetaDriveEnv", "VaryingDynamicsEnv", "createGymWrapper",
+    "MetaDriveEnv", "SafeMetaDriveEnv", "VaryingDynamicsEnv", "MixedTrafficEnv", "createGymWrapper",
     "VERSION", "__version__",
 ]
 
@@ -26,6 +26,7 @@ _LAZY = {
     "MetaDriveEnv": ("metadrive_ped_tpu.envs.metadrive_env", "MetaDriveEnv"),
     "SafeMetaDriveEnv": ("metadrive_ped_tpu.envs.safe_metadrive_env", "SafeMetaDriveEnv"),
     "VaryingDynamicsEnv": ("metadrive_ped_tpu.envs.varying_dynamics_env", "VaryingDynamicsEnv"),
+    "MixedTrafficEnv": ("metadrive_ped_tpu.envs.mixed_traffic_env", "MixedTrafficEnv"),
     "createGymWrapper": ("metadrive_ped_tpu.envs.gym_wrapper", "createGymWrapper"),
 }
 

@@ -17,6 +17,7 @@ class TerminationState:
     CRASH_OBJECT = "crash_object"
     CRASH_BUILDING = "crash_building"
     CRASH_SIDEWALK = "crash_sidewalk"
+    IDLE = "idle"
     CURRENT_BLOCK = "current_block"
     ENV_SEED = "env_seed"
 
@@ -38,6 +39,8 @@ LINE_NONE = 0
 LINE_BROKEN = 1
 LINE_CONTINUOUS = 2
 LINE_SIDE = 3  # side line = continuous + sidewalk beyond it
+LINE_GUARDRAIL = 4  # physical barrier at the line (racing track walls);
+                    # contact -> crash_sidewalk (PGLineType.GUARDRAIL)
 
 # Lane line colors (reference: PGLineColor) — center line is yellow.
 LINE_COLOR_GREY = 0

@@ -59,6 +59,7 @@ class Scene:
     npc_class: jnp.ndarray
     npc_trigger_road: jnp.ndarray
     npc_valid: jnp.ndarray
+    npc_expert: jnp.ndarray    # [S, N] expert-driven NPCs (MixedPGTraffic)
     # static traffic objects (accident scenes: cones/warnings/barriers)
     obj_pos: jnp.ndarray
     obj_heading: jnp.ndarray

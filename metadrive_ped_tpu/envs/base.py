@@ -80,7 +80,10 @@ class BaseVectorEnv:
                 map=3,  # int block count or block-ID string (pg_map.py:17-36)
                 map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0),
                 traffic_density=0.1,
-                traffic_mode="trigger",  # "trigger" | "respawn" (traffic_manager.py:20-29)
+                traffic_mode="trigger",  # "trigger" | "respawn" | "hybrid" (traffic_manager.py:20-29)
+                # MixedPGTrafficManager: fraction of NPCs driven by the PPO
+                # expert instead of IDM (traffic_manager.py:367-418)
+                rl_agent_ratio=0.0,
                 accident_prob=0.0,       # metadrive_env.py:51
                 static_traffic_object=True,
                 # opt-in traffic lights at PG intersection approaches
@@ -185,8 +188,12 @@ class BaseVectorEnv:
                 spawn_roads=cfg.get("spawn_roads"),
                 spawn_dest_nodes=cfg.get("spawn_dest_nodes"),
                 pg_traffic_lights=cfg["pg_traffic_lights"],
+                rl_agent_ratio=cfg["rl_agent_ratio"],
             ),
         )
+        if cfg["rl_agent_ratio"] > 0:
+            from metadrive_ped_tpu.policies.expert import load_expert_params
+            self._npc_expert_params = load_expert_params()
         self.scene = Scene.from_pack(pack)
         self._pack = pack  # host-side arrays (texture baking, debugging)
         self.num_envs = cfg["num_envs"]
@@ -584,9 +591,19 @@ class BaseVectorEnv:
         npc = npc.replace(released=released)
         # hybrid = trigger release + respawn-style recycling at lane end
         # (traffic_manager.py:27-28, 104-112)
+        expert_actions = expert_mask = None
+        if cfg["rl_agent_ratio"] > 0:
+            from metadrive_ped_tpu.ops import mixed_traffic
+            expert_actions = mixed_traffic.expert_npc_actions(
+                scene, state.sidx, npc, ego, self._npc_expert_params,
+                num_lasers=cfg["vehicle_config"]["lidar"]["num_lasers"],
+                distance=cfg["vehicle_config"]["lidar"]["distance"],
+            )
+            expert_mask = scene.npc_expert[state.sidx]
         npc = idm.step_npcs(
             scene, state.sidx, npc, ego, dt=dt, substeps=rep,
             respawn_mode=cfg["traffic_mode"] in ("respawn", "hybrid"),
+            expert_actions=expert_actions, expert_mask=expert_mask,
         )
 
         # pedestrians / cyclists advance kinematically
@@ -640,7 +657,7 @@ class BaseVectorEnv:
 
         # reward / done / cost (subclass formulas)
         arrive = localization.arrive_destination(scene, state.sidx, ego.slot, ego.pos)
-        out_of_road = self._is_out_of_road(ego)
+        out_of_road = self._is_out_of_road(ego, state)
         reward, step_info = self.reward_function(state, loc, arrive, out_of_road)
         cost, cost_info = self.cost_function(state, out_of_road)
         terminated, truncated, done_info = self.done_function(state, arrive, out_of_road)
@@ -677,6 +694,7 @@ class BaseVectorEnv:
             episode_reward=episode_reward, episode_length=step_count,
             env_seed=state.sidx + cfg["start_seed"],
         )
+        info.update({k: v for k, v in step_info.items() if k != "step_reward"})
         info.update(done_info)
         info.update(cost_info)
         if takeover_info is not None:
@@ -842,7 +860,7 @@ class BaseVectorEnv:
         env only when ALL its agents are finished)."""
         return done
 
-    def _is_out_of_road(self, ego):
+    def _is_out_of_road(self, ego, state=None):
         raise NotImplementedError
 
     def reward_function(self, state, loc, arrive, out_of_road):

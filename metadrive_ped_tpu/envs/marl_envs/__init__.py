@@ -3,10 +3,11 @@ from metadrive_ped_tpu.envs.marl_envs.marl_env import (
     MultiAgentMetaDrive, MultiAgentRoundaboutEnv
 )
 from metadrive_ped_tpu.envs.marl_envs.marl_parking_lot import MultiAgentParkingLotEnv
+from metadrive_ped_tpu.envs.marl_envs.marl_racing import MultiAgentRacingEnv
 from metadrive_ped_tpu.envs.marl_envs.marl_tollgate import MultiAgentTollgateEnv
 
 __all__ = [
     "MultiAgentMetaDrive", "MultiAgentRoundaboutEnv", "MultiAgentIntersectionEnv",
     "MultiAgentBottleneckEnv", "MultiAgentBidirectionEnv", "MultiAgentTollgateEnv",
-    "MultiAgentParkingLotEnv",
+    "MultiAgentParkingLotEnv", "MultiAgentRacingEnv",
 ]

@@ -83,6 +83,6 @@ class MultiAgentParkingLotEnv(MultiAgentMetaDrive):
             )
         super().__init__(cfg)
 
-    def _is_out_of_road(self, ego):
+    def _is_out_of_road(self, ego, state=None):
         # marl_parking_lot.py:274-277: white continuous lines are crossable
         return ego.on_yellow_line | ~ego.on_lane | ego.crash_sidewalk

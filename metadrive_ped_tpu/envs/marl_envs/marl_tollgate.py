@@ -161,7 +161,7 @@ class MultiAgentTollgateEnv(MultiAgentMetaDrive):
         return state.replace(aux=aux)
 
     # ---- reward / done ------------------------------------------------------
-    def _is_out_of_road(self, ego):
+    def _is_out_of_road(self, ego, state=None):
         # marl_tollgate.py:240-246
         ret = ego.crash_sidewalk
         if self.config["cross_yellow_line_done"]:

@@ -12,7 +12,7 @@ from metadrive_ped_tpu.ops.math_ops import clip01
 
 
 class MetaDriveEnv(BaseVectorEnv):
-    def _is_out_of_road(self, ego):
+    def _is_out_of_road(self, ego, state=None):
         # reference: metadrive_env.py:229-237
         ret = ~ego.on_lane
         if self.config["out_of_route_done"]:

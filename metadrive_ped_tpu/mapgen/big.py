@@ -142,6 +142,9 @@ def generate_map(seed, map_config):
                 map_config.get("lane_width", 3.5),
                 map_config.get("lane_num", 3),
                 length=map_config.get("exit_length", 50.0),
+                remove_negative_lanes=map_config.get("remove_negative_lanes", False),
+                center_line_type=map_config.get("center_line_type"),
+                side_line_type=map_config.get("side_line_type"),
             )
         ]
         for spec in custom:
@@ -151,6 +154,15 @@ def generate_map(seed, map_config):
                 blocks[-1].get_socket(spec.get("socket_idx", 0)),
                 network,
                 random_seed=spec.get("random_seed", 1),
+            )
+            block.remove_negative_lanes = spec.get(
+                "remove_negative_lanes", map_config.get("remove_negative_lanes", False)
+            )
+            block.center_line_override = spec.get(
+                "center_line_type", map_config.get("center_line_type")
+            )
+            block.side_line_override = spec.get(
+                "side_line_type", map_config.get("side_line_type")
             )
             # custom maps are hand-authored; skip the sampling-time overlap
             # rejection (the reference passes explicit configs the same way)

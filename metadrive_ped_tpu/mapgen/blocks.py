@@ -189,6 +189,12 @@ class PGBlock:
         self._node_cnt = 0
         self._part_idx = 0
         self.config = {}
+        # one-way / walled variants (reference: base_block.py
+        # remove_negative_lanes + PGLineType.GUARDRAIL side/center lines,
+        # used by the racing map, marl_racing_env.py:91-99)
+        self.remove_negative_lanes = False
+        self.center_line_override = None
+        self.side_line_override = None
 
     # -- naming ------------------------------------------------------------
     def set_part_idx(self, idx):
@@ -349,21 +355,29 @@ class FirstPGBlock(PGBlock):
     ID = "I"
     ENTRANCE_LENGTH = 10.0
 
-    def __init__(self, global_network, lane_width, lane_num, length=50.0):
+    def __init__(self, global_network, lane_width, lane_num, length=50.0,
+                 remove_negative_lanes=False, center_line_type=None, side_line_type=None):
         super().__init__(0, None, global_network, random_seed=0)
+        self.remove_negative_lanes = remove_negative_lanes
+        center = center_line_type or LINE_CONTINUOUS
+        side = side_line_type or LINE_SIDE
         self.block_network = NodeRoadNetwork()
         basic = HostStraightLane(
             [0.0, 0.0], [self.ENTRANCE_LENGTH, 0.0], width=lane_width,
-            line_types=[LINE_BROKEN, LINE_SIDE]
+            line_types=[LINE_BROKEN, side]
         )
         spawn_road = Road(self.NODE_1, self.NODE_2)
-        create_road_from(basic, lane_num, spawn_road, self.block_network)
-        create_adverse_road(spawn_road, self.block_network)
+        create_road_from(basic, lane_num, spawn_road, self.block_network,
+                         center_line_type=center, side_line_type=side)
+        if not remove_negative_lanes:
+            create_adverse_road(spawn_road, self.block_network)
 
-        next_lane = extend_straight_lane(basic, length - self.ENTRANCE_LENGTH, [LINE_BROKEN, LINE_SIDE])
+        next_lane = extend_straight_lane(basic, length - self.ENTRANCE_LENGTH, [LINE_BROKEN, side])
         other_road = Road(self.NODE_2, self.NODE_3)
-        create_road_from(next_lane, lane_num, other_road, self.block_network)
-        create_adverse_road(other_road, self.block_network)
+        create_road_from(next_lane, lane_num, other_road, self.block_network,
+                         center_line_type=center, side_line_type=side)
+        if not remove_negative_lanes:
+            create_adverse_road(other_road, self.block_network)
 
         self.global_network.add(self.block_network)
         socket = self.create_socket_from_positive_road(other_road)
@@ -383,13 +397,17 @@ class Straight(PGBlock):
     def _try_plug_into_previous_block(self):
         self.set_part_idx(0)
         length = self.config[Parameter.length]
+        center = self.center_line_override or LINE_CONTINUOUS
+        side = self.side_line_override or LINE_SIDE
         basic_lane = self.positive_basic_lane
-        new_lane = extend_straight_lane(basic_lane, length, [LINE_BROKEN, LINE_SIDE])
+        new_lane = extend_straight_lane(basic_lane, length, [LINE_BROKEN, side])
         start = self.pre_block_socket.positive_road.end_node
         end = self.add_road_node()
         socket_road = Road(start, end)
-        create_road_from(new_lane, self.positive_lane_num, socket_road, self.block_network)
-        create_adverse_road(socket_road, self.block_network)
+        create_road_from(new_lane, self.positive_lane_num, socket_road, self.block_network,
+                         center_line_type=center, side_line_type=side)
+        if not self.remove_negative_lanes:
+            create_adverse_road(socket_road, self.block_network)
         self.add_sockets(PGBlockSocket(socket_road, -socket_road))
         return True
 
@@ -405,6 +423,8 @@ class Curve(PGBlock):
         para = self.config
         basic_lane = self.positive_basic_lane
         lane_num = self.positive_lane_num
+        center = self.center_line_override or LINE_CONTINUOUS
+        side = self.side_line_override or LINE_SIDE
 
         start_node = self.pre_block_socket.positive_road.end_node
         end_node = self.add_road_node()
@@ -416,16 +436,20 @@ class Curve(PGBlock):
             math.radians(para[Parameter.angle]),
             bool(para[Parameter.dir]),
             width=basic_lane.width,
-            line_types=[LINE_BROKEN, LINE_SIDE],
+            line_types=[LINE_BROKEN, side],
         )
-        create_road_from(curve, lane_num, positive_road, self.block_network)
-        create_adverse_road(positive_road, self.block_network)
+        create_road_from(curve, lane_num, positive_road, self.block_network,
+                         center_line_type=center, side_line_type=side)
+        if not self.remove_negative_lanes:
+            create_adverse_road(positive_road, self.block_network)
 
         start_node = end_node
         end_node = self.add_road_node()
         positive_road2 = Road(start_node, end_node)
-        create_road_from(straight, lane_num, positive_road2, self.block_network)
-        create_adverse_road(positive_road2, self.block_network)
+        create_road_from(straight, lane_num, positive_road2, self.block_network,
+                         center_line_type=center, side_line_type=side)
+        if not self.remove_negative_lanes:
+            create_adverse_road(positive_road2, self.block_network)
 
         self.add_sockets(self.create_socket_from_positive_road(positive_road2))
         return True

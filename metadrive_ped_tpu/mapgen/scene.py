@@ -24,7 +24,7 @@ import math
 import numpy as np
 
 from metadrive_ped_tpu.constants import (
-    LANE_CIRCULAR, LINE_COLOR_YELLOW, LINE_CONTINUOUS, LINE_SIDE,
+    LANE_CIRCULAR, LINE_COLOR_YELLOW, LINE_CONTINUOUS, LINE_GUARDRAIL, LINE_SIDE,
     SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
 )
 from metadrive_ped_tpu.mapgen.big import generate_map
@@ -317,6 +317,12 @@ def compile_scene(seed, config):
         if last.line_types[1] == LINE_SIDE:
             off = w / 2 + SIDEWALK_LINE_DIST + SIDEWALK_HALF_WIDTH
             add_polyline(_lane_polyline(last, off), SEG_SIDEWALK, SIDEWALK_HALF_WIDTH)
+        # guardrails: physical walls AT the line (racing tracks); contact
+        # classifies as crash_sidewalk (PGLineType.GUARDRAIL)
+        if first.line_types[0] == LINE_GUARDRAIL:
+            add_polyline(_lane_polyline(first, -w / 2), SEG_SIDEWALK, 0.2)
+        if last.line_types[1] == LINE_GUARDRAIL:
+            add_polyline(_lane_polyline(last, w / 2), SEG_SIDEWALK, 0.2)
 
     B = len(seg_p0)
 
@@ -412,7 +418,10 @@ def compile_scene(seed, config):
     # ---- traffic spawn slots (trigger mode,
     #      traffic_manager.py:231-277 _create_vehicles_once) ----------------
     density = config.get("traffic_density", 0.0)
-    npc_lane, npc_long, npc_class, npc_trigger = [], [], [], []
+    # MixedPGTrafficManager: each spawned NPC is expert-driven with
+    # probability rl_agent_ratio (traffic_manager.py:403-409)
+    rl_ratio = config.get("rl_agent_ratio", 0.0) or 0.0
+    npc_lane, npc_long, npc_class, npc_trigger, npc_expert = [], [], [], [], []
     if density > 0:
         rs_traffic = np.random.RandomState((seed * 1000003 + 7) % (2 ** 31))
         for block in blocks[1:]:
@@ -438,12 +447,14 @@ def compile_scene(seed, config):
                 npc_long.append(long)
                 npc_class.append(cls)
                 npc_trigger.append(trig_id)
+                npc_expert.append(bool(rl_ratio > 0 and rs_traffic.random_sample() < rl_ratio))
     # breakdown vehicles join the NPC arrays, never released (trigger -2)
     for lane, long, cls in breakdown_npcs:
         npc_lane.append(lane_list.index(lane))
         npc_long.append(long)
         npc_class.append(cls)
         npc_trigger.append(-2)
+        npc_expert.append(False)
     N = len(npc_lane)
 
     # ---- pedestrians / cyclists on sidewalks (the _ped fork's participant
@@ -495,7 +506,7 @@ def compile_scene(seed, config):
         seg_valid=np.ones(B, bool),
         npc_lane=np.asarray(npc_lane, np.int32), npc_long=np.asarray(npc_long, np.float32),
         npc_class=np.asarray(npc_class, np.int32), npc_trigger_road=np.asarray(npc_trigger, np.int32),
-        npc_valid=np.ones(N, bool),
+        npc_valid=np.ones(N, bool), npc_expert=np.asarray(npc_expert, bool),
         obj_pos=np.asarray(obj_pos, np.float32).reshape(len(obj_pos), 2),
         obj_heading=np.asarray(obj_heading, np.float32),
         obj_len=np.asarray(obj_len, np.float32),
@@ -536,7 +547,7 @@ def build_scene_pack(seeds, config, min_npc_slots=0):
             )
     if "npc_lane" in max_shape:
         npc_n = max(max_shape["npc_lane"][0], min_npc_slots, 1)
-        for k in ("npc_lane", "npc_long", "npc_class", "npc_trigger_road", "npc_valid"):
+        for k in ("npc_lane", "npc_long", "npc_class", "npc_trigger_road", "npc_valid", "npc_expert"):
             max_shape[k] = (npc_n,) + max_shape[k][1:]
     pack = {}
     for k in keys:

@@ -95,8 +95,13 @@ def _lane_gaps(scene, sidx, lanes, npc_pos, npc_len,
     return front_gap, front_speed, back_gap
 
 
-def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False):
-    """One env-step of all NPCs: IDM + lane change + dynamics + routing."""
+def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
+              expert_actions=None, expert_mask=None):
+    """One env-step of all NPCs: IDM + lane change + dynamics + routing.
+
+    expert_actions/[E,N,2] + expert_mask/[E,N]: MixedPGTrafficManager — the
+    masked slots drive with ExpertPolicy actions instead of IDM
+    (traffic_manager.py:403-409; assembled by ops/mixed_traffic.py)."""
     E, N = npc.lane.shape
     cand_pos = jnp.concatenate([npc.pos, ego.pos[:, None, :]], axis=1)      # [E,N+1,2]
     cand_speed = jnp.concatenate([npc.speed, ego.speed[:, None]], axis=1)
@@ -153,6 +158,10 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False):
     moving = npc.active & npc.released
     steering = jnp.clip(jnp.where(moving, steering, 0.0), -1.0, 1.0)
     throttle = jnp.clip(jnp.where(moving, acc, 0.0), -1.0, 1.0)
+    if expert_actions is not None and expert_mask is not None:
+        use_exp = expert_mask & moving
+        steering = jnp.where(use_exp, expert_actions[..., 0], steering)
+        throttle = jnp.where(use_exp, expert_actions[..., 1], throttle)
 
     pos, heading, speed, vel_dir = dynamics.step_vehicle(
         npc.pos, npc.heading, npc.speed, npc.vel_dir, steering, throttle,

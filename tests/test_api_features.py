@@ -134,3 +134,30 @@ def test_hybrid_traffic_mode():
     act1 = int(np.asarray(env._state.npc.active).sum())
     assert rel1 > rel0, "ego progress must trigger-release NPCs"
     assert act1 > 0, "recycling keeps NPCs alive in hybrid mode"
+
+
+def test_mixed_traffic_expert_npcs():
+    """MixedPGTrafficManager (traffic_manager.py:367-418): rl_agent_ratio of
+    NPCs are driven by the PPO expert and must track their lanes."""
+    from metadrive_ped_tpu.envs.mixed_traffic_env import MixedTrafficEnv
+    from metadrive_ped_tpu.ops import lane_geom
+
+    env = MixedTrafficEnv(dict(num_envs=2, map="SS", num_scenarios=1,
+                               traffic_density=0.4, rl_agent_ratio=0.5,
+                               traffic_mode="respawn", horizon=10000))
+    env.reset(seed=0)
+    em_pack = env._pack["npc_expert"]
+    assert em_pack.any() and not em_pack.all(), "a FRACTION must be expert-driven"
+    for _ in range(120):
+        env.step(np.zeros((2, 2), np.float32))
+    st = env._state
+    g = lane_geom.gather_lane(env.scene, st.sidx, st.npc.lane)
+    _, lat = lane_geom.local_coordinates(g, st.npc.pos)
+    em = np.asarray(em_pack[np.asarray(st.sidx)])
+    act = np.asarray(st.npc.active)
+    sel = em & act
+    assert sel.any()
+    assert float(np.abs(np.asarray(lat)[sel]).max()) < 1.2, \
+        "expert NPCs must keep their lanes"
+    assert float(np.asarray(st.npc.speed)[sel].mean()) > 2.0, \
+        "expert NPCs must actually drive"

@@ -171,3 +171,36 @@ def test_marl_parking_lot_scene():
     for _ in range(20):
         obs, r, te, tr, inf = env.step(np.tile([0.0, 0.3], (1, 10, 1)))
     assert bool(np.isfinite(np.asarray(obs)).all())
+
+
+def test_marl_racing_scene():
+    """Racing track (reference: marl_racing_env.py): one-way guardrailed
+    12-block track; guardrail contact = crash_sidewalk (non-terminal),
+    idle agents terminate, reward carries progress info."""
+    from metadrive_ped_tpu.envs.marl_envs import MultiAgentRacingEnv
+    from metadrive_ped_tpu.constants import SEG_SIDEWALK
+
+    env = MultiAgentRacingEnv(dict(num_envs=1, num_agents=12))
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (1, 12, 91)
+    pack = env._pack
+    # one-way: no negative roads on the track
+    assert not pack["road_negative"].any()
+    # guardrails compile into sidewalk-type (crash) segments on BOTH sides
+    assert (pack["seg_type"][0] == SEG_SIDEWALK).sum() > 50
+    saw_rail = False
+    for i in range(120):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 1.0], (1, 12, 1)))
+        saw_rail = saw_rail or bool(np.asarray(inf["crash_sidewalk"]).any())
+    assert saw_rail, "full-throttle racers must brush the guardrails"
+    assert "progress" in inf and "idle" in inf
+    # idle agents terminate: stop all agents and wait out the idle window
+    env2 = MultiAgentRacingEnv(dict(num_envs=1, num_agents=2, allow_respawn=False))
+    env2.reset(seed=0)
+    idle_done = False
+    for i in range(130):
+        obs, r, te, tr, inf = env2.step(np.zeros((1, 2, 2), np.float32))
+        if bool(np.asarray(inf["idle"]).any()):
+            idle_done = True
+            break
+    assert idle_done, "standing still ~100 steps must flag IDLE"
