@@ -78,7 +78,8 @@ class BaseVectorEnv:
                 start_seed=0,
                 num_scenarios=1,
                 map=3,  # int block count or block-ID string (pg_map.py:17-36)
-                map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0),
+                map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0,
+                                xodr_file=None),  # OpenDrive ingest (mapgen/opendrive.py)
                 traffic_density=0.1,
                 traffic_mode="trigger",  # "trigger" | "respawn" | "hybrid" (traffic_manager.py:20-29)
                 # MixedPGTrafficManager: fraction of NPCs driven by the PPO

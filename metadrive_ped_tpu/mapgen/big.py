@@ -129,6 +129,9 @@ def generate_map(seed, map_config):
     (metadrive/envs/metadrive_env.py:26-32): type/config/lane_width/lane_num/
     exit_length.
     """
+    if map_config.get("xodr_file"):
+        from metadrive_ped_tpu.mapgen.opendrive import generate_opendrive_map
+        return generate_opendrive_map(map_config)
     network = NodeRoadNetwork()
     custom = map_config.get("custom_blocks")
     if custom is not None:

@@ -82,6 +82,18 @@ class NodeRoadNetwork:
                 elif nxt in self.graph:
                     queue.append((nxt, path + [nxt]))
 
+    def bfs_distances(self, start):
+        """Hop count from ``start`` to every reachable node."""
+        dist = {start: 0}
+        queue = deque([start])
+        while queue:
+            v = queue.popleft()
+            for nxt in self.graph.get(v, {}):
+                if nxt not in dist:
+                    dist[nxt] = dist[v] + 1
+                    queue.append(nxt)
+        return dist
+
     def shortest_path(self, current_lane_index, destination_node):
         """Shortest node path from the current lane's road to destination
         (reference: node_road_network.py:257-261 — first BFS result)."""

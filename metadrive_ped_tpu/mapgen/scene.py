@@ -193,6 +193,13 @@ def compile_scene(seed, config):
     # OTHER arm's exit.
     rs_dest = np.random.RandomState(seed)
     spawn_roads_cfg = config.get("spawn_roads")  # list of (start,end) or None
+    dest_nodes_default = config.get("spawn_dest_nodes")
+    # OpenDrive maps carry their own spawn/destination defaults (the block
+    # shim from mapgen/opendrive.py)
+    if spawn_roads_cfg is None and hasattr(blocks[-1], "xodr_spawn"):
+        spawn_roads_cfg = blocks[-1].xodr_spawn
+        if dest_nodes_default is None:
+            dest_nodes_default = blocks[-1].xodr_dests
     RESPAWN_REGION_LONGITUDE = 8.0
 
     def route_from(start_node, dest_node):
@@ -225,7 +232,7 @@ def compile_scene(seed, config):
         # optional per-arm destination candidates (parking lot: in-arms route
         # to parking spaces, spaces route back out; marl_parking_lot.py
         # ParkingLotSpawnManager.update_destination_for)
-        dest_nodes_cfg = config.get("spawn_dest_nodes")
+        dest_nodes_cfg = dest_nodes_default
         for ai, road in enumerate(arms):
             lanes = road.get_lanes(network)
             length = lanes[0].length
@@ -425,16 +432,34 @@ def compile_scene(seed, config):
     if density > 0:
         rs_traffic = np.random.RandomState((seed * 1000003 + 7) % (2 ** 31))
         for block in blocks[1:]:
-            trigger_lanes = block.get_intermediate_spawn_lanes()
             candidates = []
-            for lanes in trigger_lanes:
-                for lane in lanes:
-                    if id(lane) in accident_lanes:  # traffic_manager.py:249
-                        continue
-                    total = int(lane.length / VEHICLE_GAP)
-                    for k in range(total):
-                        candidates.append((lane, k * VEHICLE_GAP))
-            total_len = sum(l.length for lanes in trigger_lanes for l in lanes)
+            if hasattr(block, "npc_chains"):
+                # OpenDrive maps: candidates tile whole lane CHAINS (the
+                # mini-lanes are shorter than VEHICLE_GAP)
+                total_len = 0.0
+                for chain in block.npc_chains:
+                    chain_len = sum(l.length for l in chain)
+                    total_len += chain_len
+                    target = 0.0
+                    cum = 0.0
+                    ci = 0
+                    while target < chain_len - 1e-6 and ci < len(chain):
+                        if target < cum + chain[ci].length:
+                            candidates.append((chain[ci], target - cum))
+                            target += VEHICLE_GAP
+                        else:
+                            cum += chain[ci].length
+                            ci += 1
+            else:
+                trigger_lanes = block.get_intermediate_spawn_lanes()
+                for lanes in trigger_lanes:
+                    for lane in lanes:
+                        if id(lane) in accident_lanes:  # traffic_manager.py:249
+                            continue
+                        total = int(lane.length / VEHICLE_GAP)
+                        for k in range(total):
+                            candidates.append((lane, k * VEHICLE_GAP))
+                total_len = sum(l.length for lanes in trigger_lanes for l in lanes)
             n_spawn = int(math.floor(math.floor(total_len / VEHICLE_GAP) * density))
             rs_traffic.shuffle(candidates)
             selected = candidates[:min(n_spawn, len(candidates))]
