@@ -80,6 +80,10 @@ class BaseVectorEnv:
                 map=3,  # int block count or block-ID string (pg_map.py:17-36)
                 map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0,
                                 xodr_file=None),  # OpenDrive ingest (mapgen/opendrive.py)
+                # pre-compiled scene pack (PGMapManager.dump_all_maps/
+                # load_all_maps parity, pg_map_manager.py:92-133): skip map
+                # generation and load the pkl written by env.dump_all_maps
+                map_pack_file=None,
                 traffic_density=0.1,
                 traffic_mode="trigger",  # "trigger" | "respawn" | "hybrid" (traffic_manager.py:20-29)
                 # MixedPGTrafficManager: fraction of NPCs driven by the PPO
@@ -179,19 +183,26 @@ class BaseVectorEnv:
         seeds = list(range(cfg["start_seed"], cfg["start_seed"] + cfg["num_scenarios"]))
         map_cfg = dict(cfg["map_config"])
         map_cfg["config"] = cfg["map"]
-        pack = build_scene_pack(
-            seeds,
-            dict(
-                map_config=map_cfg,
-                traffic_density=cfg["traffic_density"],
-                accident_prob=cfg["accident_prob"],
-                pedestrian_density=cfg["pedestrian_density"],
-                spawn_roads=cfg.get("spawn_roads"),
-                spawn_dest_nodes=cfg.get("spawn_dest_nodes"),
-                pg_traffic_lights=cfg["pg_traffic_lights"],
-                rl_agent_ratio=cfg["rl_agent_ratio"],
-            ),
-        )
+        if cfg["map_pack_file"]:
+            # load a pre-compiled scene pack (PGMapManager.load_all_maps
+            # parity, pg_map_manager.py:112-133)
+            import pickle
+            with open(cfg["map_pack_file"], "rb") as f:
+                pack = pickle.load(f)["pack"]
+        else:
+            pack = build_scene_pack(
+                seeds,
+                dict(
+                    map_config=map_cfg,
+                    traffic_density=cfg["traffic_density"],
+                    accident_prob=cfg["accident_prob"],
+                    pedestrian_density=cfg["pedestrian_density"],
+                    spawn_roads=cfg.get("spawn_roads"),
+                    spawn_dest_nodes=cfg.get("spawn_dest_nodes"),
+                    pg_traffic_lights=cfg["pg_traffic_lights"],
+                    rl_agent_ratio=cfg["rl_agent_ratio"],
+                ),
+            )
         if cfg["rl_agent_ratio"] > 0:
             from metadrive_ped_tpu.policies.expert import load_expert_params
             self._npc_expert_params = load_expert_params()
@@ -372,6 +383,34 @@ class BaseVectorEnv:
         self._state, obs, outs = self._rollout_jit(self._state, obs0, jnp.asarray(fixed, jnp.float32))
         mean_reward = float(jnp.mean(outs["reward"])) if "reward" in outs else 0.0
         return outs, mean_reward
+
+    def dump_all_maps(self, path):
+        """Write the compiled scene pack to pkl
+        (PGMapManager.dump_all_maps, pg_map_manager.py:92-110). A later env
+        with map_pack_file=path skips map generation entirely."""
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump(
+                dict(pack=self._pack,
+                     num_scenarios=self.config["num_scenarios"],
+                     start_seed=self.config["start_seed"]),
+                f,
+            )
+        return path
+
+    def render(self, mode="topdown", **kwargs):
+        """RGB frame of one env (reference: BaseEnv.render + the pygame
+        TopDownRenderer, obs/top_down_renderer.py). Modes: "topdown" /
+        "top_down_plt" (BEV map + object stamps) or "rgb_array" (TPU raycast
+        camera)."""
+        from metadrive_ped_tpu.obs.render import render_rgb_array, render_topdown
+        if self._state is None:
+            raise RuntimeError("call reset() before render()")
+        if mode in ("topdown", "top_down", "bev", "top_down_plt"):
+            return render_topdown(self, **kwargs)
+        if mode in ("rgb_array", "camera"):
+            return render_rgb_array(self, **kwargs)
+        raise ValueError(f"unknown render mode {mode!r}")
 
     def close(self):
         self._state = None

@@ -161,3 +161,36 @@ def test_mixed_traffic_expert_npcs():
         "expert NPCs must keep their lanes"
     assert float(np.asarray(st.npc.speed)[sel].mean()) > 2.0, \
         "expert NPCs must actually drive"
+
+
+def test_render_topdown_and_rgb():
+    """env.render parity (BaseEnv.render / TopDownRenderer)."""
+    env = MetaDriveEnv(dict(num_envs=2, map="CS", num_scenarios=1, traffic_density=0.3))
+    env.reset(seed=0)
+    for _ in range(5):
+        env.step(np.tile([0.0, 0.8], (2, 1)))
+    img = env.render("topdown", size=256)
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    # the frame must contain road gray, ego green, and NPC blue pixels
+    assert (np.abs(img.astype(int) - [128, 128, 128]).sum(-1) == 0).any(), "road"
+    assert (np.abs(img.astype(int) - [30, 160, 60]).sum(-1) == 0).any(), "ego"
+    rgb = env.render("rgb_array", width=96, height=64)
+    assert rgb.shape == (64, 96, 3) and rgb.dtype == np.uint8
+    assert rgb.std() > 10, "camera frame must have contrast"
+
+
+def test_dump_and_load_all_maps(tmp_path):
+    """PGMapManager.dump_all_maps/load_all_maps parity: a reloaded pack
+    reproduces identical scenes and identical rollouts."""
+    env = MetaDriveEnv(dict(num_envs=2, map=3, num_scenarios=2, traffic_density=0.2))
+    env.reset(seed=0)
+    path = env.dump_all_maps(str(tmp_path / "maps.pkl"))
+    env2 = MetaDriveEnv(dict(num_envs=2, map=3, num_scenarios=2, traffic_density=0.2,
+                             map_pack_file=path))
+    for k in env._pack:
+        np.testing.assert_array_equal(env._pack[k], env2._pack[k])
+    env2.reset(seed=0)
+    a1 = np.tile([0.0, 0.7], (2, 1)).astype(np.float32)
+    o1 = env.step(a1)[0]
+    o2 = env2.step(a1)[0]
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
