@@ -22,7 +22,7 @@ import numpy as np
 from metadrive_ped_tpu.config import Config
 from metadrive_ped_tpu.constants import (
     BICYCLE_REF_ACCEL, BICYCLE_REF_BRAKE, BICYCLE_REF_WHEELBASE_EFF,
-    SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
+    SEG_BROKEN_LINE, SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
     VEHICLE_CLASS_ORDER, VEHICLE_CLASSES,
 )
 from metadrive_ped_tpu.core.structs import (
@@ -115,6 +115,10 @@ class BaseVectorEnv:
                 # per-episode randomized dynamics (varying_dynamics_env.py);
                 # dict of param -> (min, max) or None
                 random_dynamics=None,
+                # sample the agent's vehicle class uniformly per episode and
+                # prepend length/width obs features (base_env.py config key;
+                # agent_manager.py:41 random_vehicle_type, state_obs.py:69-75)
+                random_agent_model=False,
                 decision_repeat=5,
                 physics_world_step_size=0.02,
                 # camera observation family (reference: obs/image_obs.py +
@@ -193,6 +197,9 @@ class BaseVectorEnv:
             pack = build_scene_pack(
                 seeds,
                 dict(
+                    include_broken_line_segs=(
+                        cfg["vehicle_config"]["lane_line_detector"]["num_lasers"] > 0
+                    ),
                     map_config=map_cfg,
                     traffic_density=cfg["traffic_density"],
                     accident_prob=cfg["accident_prob"],
@@ -219,8 +226,13 @@ class BaseVectorEnv:
     # ------------------------------------------------------------------ API
     @property
     def observation_dim(self):
-        lidar_cfg = self.config["vehicle_config"]["lidar"]
-        return state_obs.obs_dim(lidar_cfg["num_lasers"], lidar_cfg["num_others"])
+        vc = self.config["vehicle_config"]
+        return state_obs.obs_dim(
+            vc["lidar"]["num_lasers"], vc["lidar"]["num_others"],
+            side_lasers=vc["side_detector"]["num_lasers"],
+            lane_line_lasers=vc["lane_line_detector"]["num_lasers"],
+            random_agent_model=self.config["random_agent_model"],
+        )
 
     @property
     def observation_space(self):
@@ -481,7 +493,16 @@ class BaseVectorEnv:
         """Default-class params, optionally re-sampled per episode from the
         random_dynamics ranges (VaryingDynamicsAgentManager,
         varying_dynamics_env.py:28-49)."""
-        base = make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32))
+        if self.config["random_agent_model"]:
+            # uniform class draw per episode (vehicle_type.py:269-282
+            # random_vehicle_type with default p, via agent_manager.py:41)
+            ckeys = jax.vmap(lambda k: jax.random.fold_in(k, 78))(rng)
+            cls = jax.vmap(
+                lambda k: jax.random.randint(k, (), 0, len(VEHICLE_CLASS_ORDER))
+            )(ckeys)
+            base = make_vehicle_params(cls.astype(jnp.int32))
+        else:
+            base = make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32))
         rd = self.config["random_dynamics"]
         if not rd:
             return base
@@ -563,7 +584,8 @@ class BaseVectorEnv:
         ), kinds
 
     def _observe(self, state, ego_long, ego_lat):
-        lidar_cfg = self.config["vehicle_config"]["lidar"]
+        vc = self.config["vehicle_config"]
+        lidar_cfg = vc["lidar"]
         targets, _ = self._lidar_targets(state)
         noisy = lidar_cfg["gaussian_noise"] > 0 or lidar_cfg["dropout_prob"] > 0
         rng = None
@@ -571,12 +593,27 @@ class BaseVectorEnv:
             rng = jax.random.fold_in(
                 jax.random.PRNGKey(0), jnp.sum(state.step_count)
             )
+        side_lasers = vc["side_detector"]["num_lasers"]
+        ll_lasers = vc["lane_line_detector"]["num_lasers"]
+        line_segs = None
+        if side_lasers > 0 or ll_lasers > 0:
+            scene, sidx = self.scene, state.sidx
+            styp = scene.seg_type[sidx]
+            valid = scene.seg_valid[sidx]
+            cont = ((styp == SEG_YELLOW_LINE) | (styp == SEG_WHITE_LINE)) & valid
+            anyline = cont | ((styp == SEG_BROKEN_LINE) & valid)
+            line_segs = (scene.seg_p0[sidx], scene.seg_p1[sidx], cont, anyline)
         return state_obs.observe(
             self.scene, state.sidx, state.ego, targets, ego_long, ego_lat,
             num_lasers=lidar_cfg["num_lasers"], lidar_distance=lidar_cfg["distance"],
             num_others=lidar_cfg["num_others"], npc=state.npc,
             gaussian_noise=lidar_cfg["gaussian_noise"],
             dropout_prob=lidar_cfg["dropout_prob"], rng=rng,
+            side_lasers=side_lasers, side_distance=vc["side_detector"]["distance"],
+            lane_line_lasers=ll_lasers,
+            lane_line_distance=vc["lane_line_detector"]["distance"],
+            line_segs=line_segs,
+            random_agent_model=self.config["random_agent_model"],
         )
 
     # ------------------------------------------------------------------ step

@@ -24,8 +24,9 @@ import math
 import numpy as np
 
 from metadrive_ped_tpu.constants import (
-    LANE_CIRCULAR, LINE_COLOR_YELLOW, LINE_CONTINUOUS, LINE_GUARDRAIL, LINE_SIDE,
-    SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
+    LANE_CIRCULAR, LINE_BROKEN, LINE_COLOR_YELLOW, LINE_CONTINUOUS,
+    LINE_GUARDRAIL, LINE_SIDE,
+    SEG_BROKEN_LINE, SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
 )
 from metadrive_ped_tpu.mapgen.big import generate_map
 from metadrive_ped_tpu.mapgen.network import Road
@@ -330,6 +331,18 @@ def compile_scene(seed, config):
             add_polyline(_lane_polyline(first, -w / 2), SEG_SIDEWALK, 0.2)
         if last.line_types[1] == LINE_GUARDRAIL:
             add_polyline(_lane_polyline(last, w / 2), SEG_SIDEWALK, 0.2)
+        if config.get("include_broken_line_segs"):
+            # broken lane lines exist as static-world ghost bodies in the
+            # reference and are seen by the LaneLineDetector (BrokenLaneLine
+            # mask, distance_detector.py:209). Off the default path because
+            # they inflate the segment count for every contact test.
+            if first.line_types[0] == LINE_BROKEN:
+                add_polyline(_lane_polyline(first, -w / 2), SEG_BROKEN_LINE,
+                             LINE_CONTACT_HALF_WIDTH)
+            for li in range(nlanes - 1):
+                inner = lane_list[lane0 + li]
+                add_polyline(_lane_polyline(inner, inner.width / 2),
+                             SEG_BROKEN_LINE, LINE_CONTACT_HALF_WIDTH)
 
     B = len(seg_p0)
 

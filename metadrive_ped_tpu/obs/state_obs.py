@@ -26,13 +26,30 @@ from metadrive_ped_tpu.ops.math_ops import clip01, heading_vec
 
 TOTAL_SIDE_WIDTH = (3 + 1) * 4.5  # (MAX_LANE_NUM+1)*MAX_LANE_WIDTH = 18
 MAX_LANE_WIDTH = 4.5
+# BaseVehicle.MAX_LENGTH / MAX_WIDTH (base_vehicle.py:78-79), the
+# random_agent_model size-feature normalizers
+MAX_VEHICLE_LENGTH = 10.0
+MAX_VEHICLE_WIDTH = 2.5
 
 EGO_STATE_DIM = 9
 NAVI_DIM = 10
 
 
-def obs_dim(num_lasers, num_others=0):
-    return EGO_STATE_DIM + NAVI_DIM + num_others * 4 + num_lasers
+def obs_dim(num_lasers, num_others=0, side_lasers=0, lane_line_lasers=0,
+            random_agent_model=False):
+    """Observation width. Mirrors StateObservation.get_line_detector_dim
+    (state_obs.py:153-159): side-detector cloud replaces the 2 lateral
+    road-border features, lane-line cloud replaces the 1 lateral-offset
+    feature; random_agent_model prepends vehicle length/width
+    (state_obs.py:69-75)."""
+    ego = EGO_STATE_DIM
+    if side_lasers > 0:
+        ego += side_lasers - 2
+    if lane_line_lasers > 0:
+        ego += lane_line_lasers - 1
+    if random_agent_model:
+        ego += 2
+    return ego + NAVI_DIM + num_others * 4 + num_lasers
 
 
 def surrounding_vehicles_info(ego, npc, num_others, perceive_distance):
@@ -79,13 +96,22 @@ def surrounding_vehicles_info(ego, npc, num_others, perceive_distance):
 
 
 def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_distance=50.0,
-            num_others=0, npc=None, gaussian_noise=0.0, dropout_prob=0.0, rng=None):
+            num_others=0, npc=None, gaussian_noise=0.0, dropout_prob=0.0, rng=None,
+            side_lasers=0, side_distance=50.0,
+            lane_line_lasers=0, lane_line_distance=20.0, line_segs=None,
+            random_agent_model=False):
     """Full observation [E, 19 + num_others*4 + num_lasers]. ego_long/ego_lat
     are the current-lane local coordinates already computed by localization;
     ``targets`` = (pos, heading, length, width, active) arrays [E,T,...] of
     every lidar-visible body (vehicles + traffic objects + participants —
     the reference lidar mask, lidar.py:28 + constants.py:242-244);
-    num_others>0 adds nearest-K vehicle features (needs npc)."""
+    num_others>0 adds nearest-K vehicle features (needs npc).
+
+    side_lasers/lane_line_lasers > 0 switch the lateral features to detector
+    clouds against the lane-line segment arrays, matching the reference's
+    SideDetector (ContinuousLaneLine mask, distance_detector.py:194) and
+    LaneLineDetector (both line masks, :209); ``line_segs`` =
+    (p0, p1, continuous_valid, any_line_valid) [E,B,...]."""
     left, right = localization.boundary_distances(scene, sidx, ego.slot, ego.route_idx, ego.pos)
     f_left = clip01(left / TOTAL_SIDE_WIDTH)
     f_right = clip01(right / TOTAL_SIDE_WIDTH)
@@ -106,9 +132,26 @@ def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_
 
     f_lat = clip01((ego_lat * 2 / MAX_LANE_WIDTH + 1) / 2)
 
-    ego_state = jnp.stack(
-        [f_left, f_right, hdiff, f_speed, f_steer, f_act0, f_act1, f_yaw, f_lat], axis=-1
-    )
+    pieces = []
+    if random_agent_model:
+        pieces.append(jnp.stack(
+            [clip01(ego.params.length / MAX_VEHICLE_LENGTH),
+             clip01(ego.params.width / MAX_VEHICLE_WIDTH)], axis=-1))
+    if side_lasers > 0:
+        p0, p1, cont_valid, _ = line_segs
+        pieces.append(raycast.side_detector_cloud(
+            ego.pos, ego.heading, side_lasers, side_distance, p0, p1, cont_valid))
+    else:
+        pieces.append(jnp.stack([f_left, f_right], axis=-1))
+    pieces.append(jnp.stack(
+        [hdiff, f_speed, f_steer, f_act0, f_act1, f_yaw], axis=-1))
+    if lane_line_lasers > 0:
+        p0, p1, _, any_valid = line_segs
+        pieces.append(raycast.side_detector_cloud(
+            ego.pos, ego.heading, lane_line_lasers, lane_line_distance, p0, p1, any_valid))
+    else:
+        pieces.append(f_lat[:, None])
+    ego_state = jnp.concatenate(pieces, axis=-1)
 
     navi = localization.navi_info(scene, sidx, ego.slot, ego.route_idx, ego.pos, ego.heading)
 

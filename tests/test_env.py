@@ -124,3 +124,38 @@ def test_determinism_same_seed():
         o2, r2, *_ = env2.step(a)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_side_and_lane_line_detector_obs():
+    """side_detector cloud replaces the 2 border features, lane_line cloud
+    the lateral feature; random_agent_model prepends L/W
+    (reference obs/state_obs.py:69-151 vehicle_state branches)."""
+    env = make_env(
+        map=2, num_scenarios=1, traffic_density=0.0, random_agent_model=True,
+        vehicle_config=dict(
+            side_detector=dict(num_lasers=8, distance=50.0),
+            lane_line_detector=dict(num_lasers=6, distance=20.0),
+            lidar=dict(num_lasers=24),
+        ),
+    )
+    expected = 2 + 8 + 6 + 6 + 10 + 24
+    assert env.observation_dim == expected
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (4, expected)
+    obs = env.step(np.zeros((4, 2)))[0]
+    o = np.asarray(obs)
+    assert np.isfinite(o).all() and (o >= 0.0).all() and (o <= 1.0).all()
+    # both clouds must register the lane lines around the spawn lane
+    assert o[:, 2:10].min() < 1.0          # side detector (continuous lines)
+    assert o[:, 16:22].min() < 1.0         # lane-line detector (any line)
+    # random_agent_model size features: default class would be
+    # 4.515/10, 1.852/2.5; a uniform class draw across 4 envs x 5 classes
+    # should not all equal the default
+    assert (o[:, 0] > 0).all() and (o[:, 1] > 0).all()
+
+
+def test_random_agent_model_varies_class():
+    env = make_env(num_envs=16, random_agent_model=True)
+    env.reset(seed=3)
+    lengths = np.asarray(env._state.ego.params.length)
+    assert len(np.unique(np.round(lengths, 3))) > 1
