@@ -37,6 +37,7 @@ LANE_CHANGE_FREQ = 50            # idm_policy.py:208
 LANE_CHANGE_SPEED_INCREASE = 10  # km/h
 SAFE_LANE_CHANGE_DISTANCE = 15.0
 MAX_SPEED = 100.0                # km/h, free-lane optimistic speed
+CREEP_SPEED = 5.0                # km/h (idm_policy.py:218)
 # PID gains (idm_policy.py:233-234)
 HEADING_PID = (1.7, 0.01, 3.5)
 LATERAL_PID = (0.3, 0.002, 0.05)
@@ -51,9 +52,12 @@ def _pid(gains, err, i_state, prev_err):
     return out, i_state, err
 
 
-def idm_acceleration(speed_kmh, front_speed_kmh, front_dist, has_front):
-    """IDM longitudinal model (idm_policy.py:303-325), km/h units as-is."""
-    v0 = NORMAL_SPEED
+def idm_acceleration(speed_kmh, front_speed_kmh, front_dist, has_front,
+                     target_speed_kmh=NORMAL_SPEED):
+    """IDM longitudinal model (idm_policy.py:303-325), km/h units as-is.
+    target_speed drops to CREEP_SPEED while waiting for a forced lane
+    change (idm_policy.py:354,367)."""
+    v0 = target_speed_kmh
     acc = ACC_FACTOR * (1.0 - jnp.power(jnp.maximum(speed_kmh, 0.0) / v0, DELTA))
     ab = -ACC_FACTOR * DEACC_FACTOR
     dv = speed_kmh - front_speed_kmh
@@ -120,6 +124,28 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     l_front, l_front_speed, l_back = gaps(g["left"])
     r_front, r_front_speed, r_back = gaps(g["right"])
 
+    # --- forced lane change on lane drop (idm_policy.py:339-374) ----------
+    # an NPC whose lane has no successor while a neighbor lane continues
+    # (merge/bottleneck/ramp end) must move over; when the target side is
+    # unsafe it creeps at CREEP_SPEED behind its front gap until clear.
+    succ_self = g["succ"]
+    gl = lane_geom.gather_lane(scene, sidx[:, None], jnp.maximum(g["left"], 0))
+    gr = lane_geom.gather_lane(scene, sidx[:, None], jnp.maximum(g["right"], 0))
+    l_exists = g["left"] >= 0
+    r_exists = g["right"] >= 0
+    l_cont = l_exists & (gl["succ"] >= 0)
+    r_cont = r_exists & (gr["succ"] >= 0)
+    must_change = (succ_self < 0) & (l_cont | r_cont)
+    want_left = must_change & l_cont
+    want_right = must_change & ~l_cont & r_cont
+    # forced-change safety margins (idm_policy.py:352-366: back >= SAFE,
+    # front >= 5)
+    l_clear = (l_back >= SAFE_LANE_CHANGE_DISTANCE) & (l_front >= 5.0)
+    r_clear = (r_back >= SAFE_LANE_CHANGE_DISTANCE) & (r_front >= 5.0)
+    forced_left = want_left & l_clear
+    forced_right = want_right & r_clear
+    creep = (want_left & ~l_clear) | (want_right & ~r_clear)
+
     # --- overtake lane change (idm_policy.py:344-369) ---------------------
     v_kmh = npc.speed * 3.6
     has_front = jnp.isfinite(front_gap)
@@ -128,13 +154,21 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
         (jnp.abs(v_kmh - NORMAL_SPEED) > 3.0)
         & has_front & (jnp.abs(front_kmh - NORMAL_SPEED) > 3.0)
         & (npc.overtake_timer > LANE_CHANGE_FREQ)
+        & ~must_change
     )
-    l_safe = (g["left"] >= 0) & (l_front > SAFE_LANE_CHANGE_DISTANCE) & (l_back > SAFE_LANE_CHANGE_DISTANCE)
-    r_safe = (g["right"] >= 0) & (r_front > SAFE_LANE_CHANGE_DISTANCE) & (r_back > SAFE_LANE_CHANGE_DISTANCE)
+    # never overtake onto an ending lane while the current one continues
+    # (available_routing_index_range, idm_policy.py:346-349)
+    l_route_ok = l_cont | (succ_self < 0)
+    r_route_ok = r_cont | (succ_self < 0)
+    l_safe = l_exists & l_route_ok & (l_front > SAFE_LANE_CHANGE_DISTANCE) & (l_back > SAFE_LANE_CHANGE_DISTANCE)
+    r_safe = r_exists & r_route_ok & (r_front > SAFE_LANE_CHANGE_DISTANCE) & (r_back > SAFE_LANE_CHANGE_DISTANCE)
     l_kmh = jnp.where(jnp.isfinite(l_front), l_front_speed * 3.6, MAX_SPEED)
     r_kmh = jnp.where(jnp.isfinite(r_front), r_front_speed * 3.6, MAX_SPEED)
-    go_left = deviate & l_safe & (l_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE)
-    go_right = deviate & ~go_left & r_safe & (r_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE)
+    go_left = forced_left | (deviate & l_safe & (l_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE))
+    go_right = forced_right | (
+        deviate & ~go_left & r_safe & (r_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE)
+    )
+    go_right = go_right & ~go_left
     target = jnp.where(go_left, g["left"], jnp.where(go_right, g["right"], npc.lane))
     changed = go_left | go_right
     overtake_timer = jnp.where(changed, 0, npc.overtake_timer + 1)
@@ -143,7 +177,8 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     acc_has_front = jnp.isfinite(acc_gap)
 
     acc = idm_acceleration(
-        v_kmh, acc_front_speed * 3.6, jnp.where(acc_has_front, acc_gap, 1e6), acc_has_front
+        v_kmh, acc_front_speed * 3.6, jnp.where(acc_has_front, acc_gap, 1e6), acc_has_front,
+        target_speed_kmh=jnp.where(creep, CREEP_SPEED, NORMAL_SPEED),
     )
 
     # --- steering PID toward the (possibly new) target lane ----------------

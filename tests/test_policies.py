@@ -70,3 +70,24 @@ def test_rollout_constant_actions_matches_step_loop():
     np.testing.assert_allclose(
         np.asarray(outs["obs"][-1]), np.asarray(obs_loop), rtol=0, atol=1e-6
     )
+
+
+def test_idm_forced_lane_change_on_merge():
+    """NPCs on a disappearing lane (Merge block) change onto the continuing
+    lane instead of despawning at the lane end, creeping while the target
+    side is unsafe (idm_policy.py:339-374 lane_change_policy)."""
+    import numpy as np
+    from metadrive_ped_tpu import MetaDriveEnv
+
+    env = MetaDriveEnv(dict(num_envs=2, map="SyS", num_scenarios=1,
+                            traffic_density=0.25, traffic_mode="respawn"))
+    env.reset(seed=0)
+    lanes0 = np.asarray(env._state.npc.lane).copy()
+    for _ in range(150):
+        env.step(np.zeros((2, 2)))
+    st = env._state
+    # lane changes happened (not just successor hops: respawn mode resets to
+    # the spawn lane, so a persistent diff means a sideways move)
+    assert (np.asarray(st.npc.lane) != lanes0).any()
+    # traffic survives the merge
+    assert np.asarray(st.npc.active).sum() > 0
