@@ -19,15 +19,31 @@ from metadrive_ped_tpu.version import VERSION, __version__
 
 __all__ = [
     "MetaDriveEnv", "SafeMetaDriveEnv", "VaryingDynamicsEnv", "MixedTrafficEnv", "createGymWrapper",
+    "ScenarioEnv", "TopDownMetaDrive", "TopDownSingleFrameMetaDriveEnv",
+    "MultiAgentMetaDrive", "MultiAgentRoundaboutEnv", "MultiAgentIntersectionEnv",
+    "MultiAgentBottleneckEnv", "MultiAgentBidirectionEnv", "MultiAgentTollgateEnv",
+    "MultiAgentParkingLotEnv", "MultiAgentRacingEnv",
     "VERSION", "__version__",
 ]
 
+_ENVS = "metadrive_ped_tpu.envs"
 _LAZY = {
-    "MetaDriveEnv": ("metadrive_ped_tpu.envs.metadrive_env", "MetaDriveEnv"),
-    "SafeMetaDriveEnv": ("metadrive_ped_tpu.envs.safe_metadrive_env", "SafeMetaDriveEnv"),
-    "VaryingDynamicsEnv": ("metadrive_ped_tpu.envs.varying_dynamics_env", "VaryingDynamicsEnv"),
-    "MixedTrafficEnv": ("metadrive_ped_tpu.envs.mixed_traffic_env", "MixedTrafficEnv"),
-    "createGymWrapper": ("metadrive_ped_tpu.envs.gym_wrapper", "createGymWrapper"),
+    "MetaDriveEnv": (f"{_ENVS}.metadrive_env", "MetaDriveEnv"),
+    "SafeMetaDriveEnv": (f"{_ENVS}.safe_metadrive_env", "SafeMetaDriveEnv"),
+    "VaryingDynamicsEnv": (f"{_ENVS}.varying_dynamics_env", "VaryingDynamicsEnv"),
+    "MixedTrafficEnv": (f"{_ENVS}.mixed_traffic_env", "MixedTrafficEnv"),
+    "createGymWrapper": (f"{_ENVS}.gym_wrapper", "createGymWrapper"),
+    "ScenarioEnv": (f"{_ENVS}.scenario_env", "ScenarioEnv"),
+    "TopDownMetaDrive": (f"{_ENVS}.top_down_env", "TopDownMetaDrive"),
+    "TopDownSingleFrameMetaDriveEnv": (f"{_ENVS}.top_down_env", "TopDownSingleFrameMetaDriveEnv"),
+    "MultiAgentMetaDrive": (f"{_ENVS}.marl_envs", "MultiAgentMetaDrive"),
+    "MultiAgentRoundaboutEnv": (f"{_ENVS}.marl_envs", "MultiAgentRoundaboutEnv"),
+    "MultiAgentIntersectionEnv": (f"{_ENVS}.marl_envs", "MultiAgentIntersectionEnv"),
+    "MultiAgentBottleneckEnv": (f"{_ENVS}.marl_envs", "MultiAgentBottleneckEnv"),
+    "MultiAgentBidirectionEnv": (f"{_ENVS}.marl_envs", "MultiAgentBidirectionEnv"),
+    "MultiAgentTollgateEnv": (f"{_ENVS}.marl_envs", "MultiAgentTollgateEnv"),
+    "MultiAgentParkingLotEnv": (f"{_ENVS}.marl_envs", "MultiAgentParkingLotEnv"),
+    "MultiAgentRacingEnv": (f"{_ENVS}.marl_envs", "MultiAgentRacingEnv"),
 }
 
 

@@ -7,7 +7,68 @@ collected per-step state arrays become per-object track arrays at 10 Hz
 """
 import numpy as np
 
+from metadrive_ped_tpu.constants import (
+    SEG_BROKEN_LINE, SEG_SIDEWALK, SEG_WHITE_LINE, SEG_YELLOW_LINE,
+)
 from metadrive_ped_tpu.scenario.description import MetaDriveType, ScenarioDescription as SD
+
+_SEG_TYPE_NAME = {
+    SEG_YELLOW_LINE: MetaDriveType.LINE_SOLID_SINGLE_YELLOW,
+    SEG_WHITE_LINE: MetaDriveType.LINE_SOLID_SINGLE_WHITE,
+    SEG_BROKEN_LINE: MetaDriveType.LINE_BROKEN_SINGLE_WHITE,
+    SEG_SIDEWALK: MetaDriveType.BOUNDARY_SIDEWALK,
+}
+
+
+def _map_features(pack, s):
+    """Scene arrays -> SD map_features (the reference exports lane
+    centerlines + boundary lines from the map, scenario/utils.py:95-323 via
+    BaseMap.get_map_features). Lane polylines come from the compiled closed
+    forms; boundary segments chain back into per-line polylines."""
+    from metadrive_ped_tpu.obs.top_down import _lane_centerline
+
+    feats = {}
+    n_lanes = int(np.sum(pack["lane_valid"][s])) if "lane_valid" in pack \
+        else pack["lane_kind"].shape[1]
+    for lid in range(pack["lane_kind"].shape[1]):
+        if "lane_valid" in pack and not pack["lane_valid"][s][lid]:
+            continue
+        poly = _lane_centerline(pack, s, lid)
+        feats[f"lane_{lid}"] = {
+            "type": MetaDriveType.LANE_SURFACE_STREET,
+            "polyline": poly,
+            "width": float(pack["lane_width"][s][lid]),
+            "speed_limit_mps": float(pack["lane_speed_limit"][s][lid])
+            if "lane_speed_limit" in pack else None,
+        }
+    # chain consecutive boundary segments (p1[i] == p0[i+1], same type)
+    p0 = np.asarray(pack["seg_p0"][s])
+    p1 = np.asarray(pack["seg_p1"][s])
+    styp = np.asarray(pack["seg_type"][s])
+    valid = np.asarray(pack["seg_valid"][s]) if "seg_valid" in pack \
+        else np.ones(len(p0), bool)
+    run, run_t, k = [], None, 0
+    def flush():
+        nonlocal run, k
+        if len(run) >= 2:
+            feats[f"line_{k}"] = {
+                "type": _SEG_TYPE_NAME.get(int(run_t), MetaDriveType.BOUNDARY_LINE),
+                "polyline": np.asarray(run, np.float32),
+            }
+            k += 1
+        run = []
+    for i in range(len(p0)):
+        if not valid[i]:
+            flush()
+            continue
+        if run and (styp[i] != run_t or not np.allclose(run[-1], p0[i], atol=1e-3)):
+            flush()
+        if not run:
+            run = [p0[i]]
+            run_t = styp[i]
+        run.append(p1[i])
+    flush()
+    return feats
 
 
 def export_scenarios(env, n_steps, policy_fn=None, actions=None, seeds=None):
@@ -18,6 +79,7 @@ def export_scenarios(env, n_steps, policy_fn=None, actions=None, seeds=None):
     """
     if seeds is not None:
         env.reset(seed=seeds)
+    sidx0 = np.asarray(env._state.sidx) if env._state is not None else None
     outs, _ = env.rollout(
         n_steps, policy_fn=policy_fn, actions=actions,
         collect=("ego_pos", "ego_heading", "ego_speed",
@@ -78,13 +140,17 @@ def export_scenarios(env, n_steps, policy_fn=None, actions=None, seeds=None):
                 SD.VERSION: "metadrive_ped_tpu",
                 SD.ID: f"env{e}",
                 SD.DYNAMIC_MAP_STATES: {},
-                SD.MAP_FEATURES: {},
+                SD.MAP_FEATURES: _map_features(env._pack, int(sidx0[e]))
+                if sidx0 is not None and getattr(env, "_pack", None) is not None
+                else {},
                 SD.LENGTH: T,
                 SD.METADATA: {
                     SD.METADRIVE_PROCESSED: True,
                     SD.COORDINATE: SD.COORDINATE_METADRIVE,
                     SD.TIMESTEP: np.arange(T, dtype=np.float32) * 0.1,
                     SD.SDC_ID: "sdc",
+                    "scenario_id": f"env{e}",
+                    "seed": int(sidx0[e]) if sidx0 is not None else 0,
                 },
             }
         )
