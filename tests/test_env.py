@@ -159,3 +159,30 @@ def test_random_agent_model_varies_class():
     env.reset(seed=3)
     lengths = np.asarray(env._state.ego.params.length)
     assert len(np.unique(np.round(lengths, 3))) > 1
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(map=7, traffic_density=0.1),
+    dict(map="CCC", num_scenarios=2),
+    dict(map=2, vehicle_config=dict(lidar=dict(num_lasers=0))),
+    dict(map=2, vehicle_config=dict(lidar=dict(num_lasers=120, num_others=2))),
+    dict(map=2, discrete_action=True),
+    dict(map=2, use_lateral_reward=True, traffic_density=0.05),
+])
+def test_env_config_matrix(cfg):
+    """Config-matrix blackbox sweep (reference:
+    tests/test_env/test_metadrive_env.py's env_config matrix): construct,
+    reset, step; obs within space, info keys present."""
+    env = make_env(num_envs=2, **cfg)
+    obs, info = env.reset(seed=1)
+    assert obs.shape == (2, env.observation_dim)
+    if cfg.get("discrete_action"):
+        act = np.array([7, 12])
+    else:
+        act = np.zeros((2, 2))
+    obs, r, term, trunc, info = env.step(act)
+    o = np.asarray(obs)
+    assert np.isfinite(o).all() and (o >= 0).all() and (o <= 1).all()
+    for key in ("arrive_dest", "crash_vehicle", "out_of_road", "step_reward",
+                "velocity", "steering", "acceleration", "cost"):
+        assert key in info, key
