@@ -68,29 +68,15 @@ def main():
 
     env = _make_env(args.config, num_envs, scenarios)
     obs, _ = env.reset(seed=0)
-    if args.config in ("marl", "scenario"):
-        # host-dispatched step loop (ScenarioEnv keeps replay state host-side;
-        # MARL reshapes per step)
-        if args.config == "marl":
-            E, A = np.asarray(obs).shape[:2]
-            actions = np.tile(np.array([0.0, 1.0], np.float32), (E, A, 1))
-            rows = E * A
-        else:
-            actions = np.tile(np.array([0.0, 1.0], np.float32), (num_envs, 1))
-            rows = num_envs
-        env.step(actions)  # compile
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            env.step(actions)
-        dt = time.perf_counter() - t0
-    else:
-        rows = num_envs
-        actions = np.tile(np.array([0.0, 1.0], np.float32), (num_envs, 1))
-        # on-device rollout (lax.scan): first call compiles, second is timed
-        env.rollout(steps, actions=actions)
-        t0 = time.perf_counter()
-        env.rollout(steps, actions=actions)
-        dt = time.perf_counter() - t0
+    # every config runs the on-device scan path (env.rollout); MARL counts
+    # agent rows (num_envs is internally E*A after __init__)
+    rows = env.num_envs
+    actions = np.tile(np.array([0.0, 1.0], np.float32), (rows, 1))
+    # first call compiles, second is timed
+    env.rollout(steps, actions=actions)
+    t0 = time.perf_counter()
+    env.rollout(steps, actions=actions)
+    dt = time.perf_counter() - t0
 
     steps_per_s = rows * steps / dt
     metric = ("env_steps_per_s_1chip" if args.config == "pg"

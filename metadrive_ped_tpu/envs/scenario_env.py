@@ -127,15 +127,54 @@ class ScenarioEnv:
     def reset(self, seed=0):
         rng = jax.random.PRNGKey(0 if seed is None else seed)
         self._state, obs, info = self._reset_jit(rng)
+        self._last_obs = obs
         return obs, info
 
     def step(self, actions):
         actions = jnp.asarray(actions, jnp.float32).reshape(self.num_envs, 2)
         self._state, obs, reward, term, trunc, info = self._step_jit(self._state, actions)
+        self._last_obs = obs
         return obs, reward, term, trunc, info
 
     def close(self):
         self._state = None
+
+    def rollout(self, n_steps, policy_fn=None, actions=None, collect=("reward",)):
+        """Run n_steps on-device via lax.scan — no per-step host dispatch
+        (mirrors BaseVectorEnv.rollout; the ScenarioEnv fast path for
+        throughput measurement and on-device RL collection)."""
+        if actions is None and policy_fn is None:
+            actions = jnp.zeros((self.num_envs, 2), jnp.float32)
+
+        key = (id(policy_fn), tuple(collect), n_steps)
+        if getattr(self, "_rollout_cache_key", None) != key:
+            def run(state, obs0, fixed_actions):
+                def body(carry, _):
+                    state, obs = carry
+                    act = policy_fn(obs, state) if policy_fn is not None else fixed_actions
+                    state, obs, reward, term, trunc, info = self._step_impl(state, act)
+                    special = dict(
+                        reward=reward, obs=obs, terminated=term, truncated=trunc,
+                        ego_pos=state.ego.pos, ego_heading=state.ego.heading,
+                        ego_speed=state.ego.speed,
+                    )
+                    out = {k: special[k] if k in special else info[k] for k in collect}
+                    return (state, obs), out
+                (state, obs), outs = jax.lax.scan(body, (state, obs0), None, length=n_steps)
+                return state, obs, outs
+            self._rollout_jit = jax.jit(run)
+            self._rollout_cache_key = key
+
+        obs0 = getattr(self, "_last_obs", None)
+        if obs0 is None:
+            obs0 = self._observe(self._state)
+        fixed = actions if actions is not None else jnp.zeros((self.num_envs, 2), jnp.float32)
+        self._state, obs, outs = self._rollout_jit(
+            self._state, obs0, jnp.asarray(fixed, jnp.float32)
+        )
+        self._last_obs = obs
+        mean_reward = float(jnp.mean(outs["reward"])) if "reward" in outs else 0.0
+        return outs, mean_reward
 
     # ------------------------------------------------------------- internals
     def _spawn(self, rng, sidx):
@@ -182,15 +221,18 @@ class ScenarioEnv:
     def _npc_pose(self, state):
         """Replayed (or reactive) traffic pose at the current timestep."""
         scene, sidx = self.scene, state.sidx
-        t = jnp.clip(state.step_count, 0, scene.trk_pos.shape[2] - 1)
-        trk_pos = scene.trk_pos[sidx]        # [E,TRK,T,2]
+        T = scene.trk_pos.shape[2]
+        t = jnp.clip(state.step_count, 0, T - 1)
+        trk_pos = scene.trk_pos[sidx]        # [E,TRK,T,2] (row gather: fast)
         trk_heading = scene.trk_heading[sidx]
         trk_valid = scene.trk_valid[sidx]
         E, TRK = trk_valid.shape[:2]
-        tt = t[:, None, None]
-        pos = jnp.take_along_axis(trk_pos, tt[..., None].repeat(2, -1), axis=2)[:, :, 0]
-        heading = jnp.take_along_axis(trk_heading, tt, axis=2)[:, :, 0]
-        active = jnp.take_along_axis(trk_valid, tt, axis=2)[:, :, 0]
+        # per-env time select as a one-hot contraction over T (take_along_axis
+        # would lower to serialized scalar gathers on TPU — CLAUDE.md rule)
+        oh_t = (t[:, None] == jnp.arange(T)).astype(jnp.float32)           # [E,T]
+        pos = jnp.einsum("et,ektc->ekc", oh_t, trk_pos)
+        heading = jnp.einsum("et,ekt->ek", oh_t, trk_heading)
+        active = jnp.einsum("et,ekt->ek", oh_t, trk_valid.astype(jnp.float32)) > 0.5
 
         if self.config["reactive_traffic"]:
             # TrajectoryIDM-style: vehicles follow their recorded path with
@@ -227,10 +269,13 @@ class ScenarioEnv:
         not_self = ~jnp.eye(TRK, TRK + 1, dtype=bool)[None]
         valid = (ahead > 0.5) & (lateral < 2.0) & not_self
         gap = jnp.where(valid, ahead, jnp.inf)
-        front = jnp.argmin(gap, axis=2)
-        front_dist = jnp.take_along_axis(gap, front[..., None], axis=2)[..., 0]
+        # min-reduce + first-tie one-hot select instead of argmin +
+        # take_along_axis (TPU scalar-gather slow path)
+        front_dist = gap.min(axis=2)                                    # [E,TRK]
         has_front = jnp.isfinite(front_dist)
-        front_speed = jnp.take_along_axis(cand_speed, front, axis=1)
+        oh = (gap == front_dist[..., None]) & has_front[..., None]
+        oh = (oh & (jnp.cumsum(oh, axis=2) == 1)).astype(jnp.float32)
+        front_speed = jnp.einsum("ekc,ec->ek", oh, cand_speed)
         acc = idm_acceleration(
             state.npc_speed * 3.6, front_speed * 3.6,
             jnp.where(has_front, front_dist, 1e6), has_front,
@@ -311,12 +356,14 @@ class ScenarioEnv:
         navi = jnp.concatenate([wp, tail, jnp.zeros((E, 2))], axis=-1)  # 22 dims
 
         # --- lidar vs replayed bodies --------------------------------------
-        npc_pos, npc_heading, npc_active = self._npc_pose(state)
-        cloud = raycast.lidar_cloud(
-            ego.pos, ego.heading, vc["lidar"]["num_lasers"], vc["lidar"]["distance"],
-            npc_pos, npc_heading, scene.trk_len[sidx], scene.trk_wid[sidx], npc_active,
-        )
-        return jnp.concatenate([side, core, navi, cloud], axis=-1)
+        parts = [side, core, navi]
+        if vc["lidar"]["num_lasers"] > 0:
+            npc_pos, npc_heading, npc_active = self._npc_pose(state)
+            parts.append(raycast.lidar_cloud(
+                ego.pos, ego.heading, vc["lidar"]["num_lasers"], vc["lidar"]["distance"],
+                npc_pos, npc_heading, scene.trk_len[sidx], scene.trk_wid[sidx], npc_active,
+            ))
+        return jnp.concatenate(parts, axis=-1)
 
     def _step_impl(self, state, actions):
         cfg = self.config
@@ -379,10 +426,12 @@ class ScenarioEnv:
         # traffic light ahead (BaseTrafficLight contact,
         # base_vehicle.py:720-733): red/yellow within the stop region
         lp = scene.light_pos[state.sidx]                    # [E,LG,2]
-        lt = jnp.clip(state.step_count, 0, scene.light_status.shape[2] - 1)
-        lstat = jnp.take_along_axis(
-            scene.light_status[state.sidx], lt[:, None, None], axis=2
-        )[:, :, 0]                                           # [E,LG]
+        LT = scene.light_status.shape[2]
+        lt = jnp.clip(state.step_count, 0, LT - 1)
+        oh_lt = (lt[:, None] == jnp.arange(LT)).astype(jnp.float32)
+        lstat = jnp.einsum(
+            "et,egt->eg", oh_lt, scene.light_status[state.sidx].astype(jnp.float32)
+        ).round().astype(jnp.int32)                          # [E,LG]
         ldist = jnp.sqrt(((lp - ego.pos[:, None, :]) ** 2).sum(-1))
         near = (ldist < 4.0) & scene.light_valid[state.sidx]
         on_red = (near & (lstat == 3)).any(axis=1)

@@ -56,16 +56,19 @@ def surrounding_vehicles_info(ego, npc, num_others, perceive_distance):
     """4 features per nearest-K NPC vehicle: relative position and relative
     velocity (km/h), both projected into the ego frame and normalized
     (reference: lidar.py:93-138 get_surrounding_vehicles_info)."""
+    from metadrive_ped_tpu.ops.gather import nearest_k_onehot
+
     delta = npc.pos - ego.pos[:, None, :]                      # [E,N,2]
     dist = jnp.sqrt((delta ** 2).sum(-1))
     dist = jnp.where(npc.active, dist, jnp.inf)
     k = min(num_others, dist.shape[1])  # fewer NPC slots than K -> pad below
-    neg_d, idx = jax.lax.top_k(-dist, k)                       # nearest K
-    found = jnp.isfinite(-neg_d) & (-neg_d <= perceive_distance)
+    oh, found_k = nearest_k_onehot(dist, k)                    # [E,K,N], [E,K]
+    sel_dist = jnp.einsum("ekn,en->ek", oh, jnp.where(jnp.isfinite(dist), dist, 0.0))
+    found = found_k & (sel_dist <= perceive_distance)
 
     hv = heading_vec(ego.heading)                              # [E,2]
     rv = jnp.stack([hv[..., 1], -hv[..., 0]], axis=-1)         # rhs
-    sel = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    sel = lambda a: jnp.einsum("ekn,en->ek", oh, a)
     dx = sel(delta[..., 0])
     dy = sel(delta[..., 1])
     rel_x = dx * hv[:, None, 0] + dy * hv[:, None, 1]
@@ -155,25 +158,28 @@ def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_
 
     navi = localization.navi_info(scene, sidx, ego.slot, ego.route_idx, ego.pos, ego.heading)
 
-    t_pos, t_heading, t_len, t_wid, t_active = targets
-    cloud = raycast.lidar_cloud(
-        ego.pos, ego.heading, num_lasers, lidar_distance,
-        t_pos, t_heading, t_len, t_wid, t_active,
-    )
-    # gaussian noise / dropout on the cloud (LidarStateObservation
-    # _add_noise_to_cloud_points, state_obs.py:234-244)
-    if (gaussian_noise > 0 or dropout_prob > 0) and rng is not None:
-        k1, k2 = jax.random.split(rng)
-        if gaussian_noise > 0:
-            cloud = jnp.clip(
-                cloud + gaussian_noise * jax.random.normal(k1, cloud.shape), 0.0, 1.0
-            )
-        if dropout_prob > 0:
-            drop = jax.random.uniform(k2, cloud.shape) < dropout_prob
-            cloud = jnp.where(drop, 0.0, cloud)
-
     parts = [ego_state, navi]
     if num_others > 0:
         parts.append(surrounding_vehicles_info(ego, npc, num_others, lidar_distance))
-    parts.append(cloud)
+    # lidar-off configs skip the cloud entirely, like the reference's
+    # LidarStateObservation (state_obs.py:210-232 only appends rays when
+    # lidar.num_lasers > 0)
+    if num_lasers > 0:
+        t_pos, t_heading, t_len, t_wid, t_active = targets
+        cloud = raycast.lidar_cloud(
+            ego.pos, ego.heading, num_lasers, lidar_distance,
+            t_pos, t_heading, t_len, t_wid, t_active,
+        )
+        # gaussian noise / dropout on the cloud (LidarStateObservation
+        # _add_noise_to_cloud_points, state_obs.py:234-244)
+        if (gaussian_noise > 0 or dropout_prob > 0) and rng is not None:
+            k1, k2 = jax.random.split(rng)
+            if gaussian_noise > 0:
+                cloud = jnp.clip(
+                    cloud + gaussian_noise * jax.random.normal(k1, cloud.shape), 0.0, 1.0
+                )
+            if dropout_prob > 0:
+                drop = jax.random.uniform(k2, cloud.shape) < dropout_prob
+                cloud = jnp.where(drop, 0.0, cloud)
+        parts.append(cloud)
     return jnp.concatenate(parts, axis=-1)

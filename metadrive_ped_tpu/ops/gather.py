@@ -50,6 +50,33 @@ def onehot_pick(values, idx):
     return (oh * values.astype(jnp.float32)).sum(-1).astype(values.dtype)
 
 
+def onehot_of(idx, n):
+    """One-hot float mask [..., n] of integer indices (MXU/VPU-friendly
+    replacement for take_along_axis on TPU)."""
+    return (idx[..., None] == jnp.arange(n)).astype(jnp.float32)
+
+
+def nearest_k_onehot(dist, k):
+    """K rounds of min-reduce + first-tie one-hot select over the last axis.
+
+    dist [..., N] (jnp.inf = invalid). Returns (sel [..., K, N] float one-hot
+    rows, found [..., K] bool). Replaces lax.top_k + take_along_axis, which
+    lower to serialized scalar gathers on TPU; this is K passes of
+    VPU-friendly reduces instead (the idiom from ops/idm.py:86).
+    """
+    sels, founds = [], []
+    d = dist
+    for _ in range(k):
+        m = d.min(axis=-1)
+        oh = (d == m[..., None]) & jnp.isfinite(m)[..., None]
+        # break ties: keep only the first hit along the axis
+        oh = oh & (jnp.cumsum(oh, axis=-1) == 1)
+        sels.append(oh.astype(jnp.float32))
+        founds.append(jnp.isfinite(m))
+        d = jnp.where(oh, jnp.inf, d)
+    return jnp.stack(sels, axis=-2), jnp.stack(founds, axis=-1)
+
+
 def vector_lookup(vec, idx):
     """vec [K] or [K, F] static table; idx [...]. One-hot contraction."""
     K = vec.shape[0]

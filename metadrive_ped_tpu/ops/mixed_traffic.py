@@ -102,14 +102,15 @@ def expert_npc_actions(scene, sidx, npc, ego, params, num_lasers=240,
     not_self = ~jnp.eye(N, C, dtype=bool)[None]                            # [1,N,C]
 
     # nearest-K relative features (lidar.py:93-138), per NPC
+    from metadrive_ped_tpu.ops.gather import nearest_k_onehot
     delta2 = cand_pos[:, None, :, :] - npc.pos[:, :, None, :]              # [E,N,C,2]
     dist = jnp.sqrt((delta2 ** 2).sum(-1))
     dist = jnp.where(cand_active[:, None, :] & not_self, dist, jnp.inf)
-    import jax
-    neg_d, idx = jax.lax.top_k(-dist, min(num_others, C))                  # [E,N,K]
-    found = jnp.isfinite(-neg_d) & (-neg_d <= distance)
+    oh, found_k = nearest_k_onehot(dist, min(num_others, C))               # [E,N,K,C]
+    sel = lambda a: jnp.einsum("enkc,enc->enk", oh, a)
+    sel_dist = sel(jnp.where(jnp.isfinite(dist), dist, 0.0))
+    found = found_k & (sel_dist <= distance)
     rv = rhs_vec(npc.heading)
-    sel = lambda a: jnp.take_along_axis(a, idx, axis=2)
     dx = sel(delta2[..., 0])
     dy = sel(delta2[..., 1])
     rel_x = dx * hv[..., None, 0] + dy * hv[..., None, 1]

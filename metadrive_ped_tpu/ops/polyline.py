@@ -5,8 +5,24 @@ utils/interpolating_line.py) parametrizes recorded trajectories/scenario
 lanes by arc length. Here a polyline is a fixed-size point array
 [P, 2] with a valid count; all queries are nearest-segment projections,
 vectorized over arbitrary batch axes.
+
+Segment selection is done with one-hot contractions, never
+take_along_axis — pointwise gathers lower to the serialized scalar-gather
+slow path on TPU (see ops/gather.py).
 """
 import jax.numpy as jnp
+
+
+def _oh_pick(values, best, idxs):
+    """Select values[..., best] via a one-hot sum over the last axis."""
+    oh = (best[..., None] == idxs).astype(values.dtype)
+    return (values * oh).sum(-1)
+
+
+def _oh_pick2(points, best, idxs):
+    """Select points[..., best, :] ([.., P, 2]) via one-hot contraction."""
+    oh = (best[..., None] == idxs).astype(points.dtype)
+    return (points * oh[..., None]).sum(-2)
 
 
 def arc_lengths(pts, npts):
@@ -39,11 +55,10 @@ def local_coordinates(pts, npts, pos):
     best = jnp.argmin(d2, axis=-1)
 
     s = arc_lengths(pts, npts)
-    take = lambda arr: jnp.take_along_axis(arr, best[..., None], axis=-1)[..., 0]
-    t_b = take(t)
-    seg_b = jnp.take_along_axis(seg, best[..., None, None], axis=-2)[..., 0, :]
-    a_b = jnp.take_along_axis(a, best[..., None, None], axis=-2)[..., 0, :]
-    s_b = take(s[..., :-1])
+    t_b = _oh_pick(t, best, idxs)
+    seg_b = _oh_pick2(seg, best, idxs)
+    a_b = _oh_pick2(a, best, idxs)
+    s_b = _oh_pick(s[..., :-1], best, idxs)
     seg_len = jnp.sqrt(jnp.maximum((seg_b ** 2).sum(-1), 1e-12))
     long = s_b + t_b * seg_len
     rel_b = pos - a_b
@@ -54,22 +69,24 @@ def local_coordinates(pts, npts, pos):
     return long, lat
 
 
-def position(pts, npts, long, lat=None):
-    """World position at arc length `long` (+ optional right-lateral)."""
+def _containing_segment(pts, npts, long):
+    """Index of the last valid segment whose start arc-length <= long."""
     s = arc_lengths(pts, npts)
     P = pts.shape[-2]
     seg_start = s[..., :-1]
     idxs = jnp.arange(P - 1)
     valid = idxs < (npts[..., None] - 1)
-    # segment containing `long`: the last valid segment whose start <= long
     le = (seg_start <= long[..., None]) & valid
-    best = jnp.maximum(
-        jnp.where(le, idxs, -1).max(axis=-1), 0
-    )
-    take2 = lambda arr: jnp.take_along_axis(arr, best[..., None, None], axis=-2)[..., 0, :]
-    a = take2(pts[..., :-1, :])
-    b = take2(pts[..., 1:, :])
-    s_b = jnp.take_along_axis(seg_start, best[..., None], axis=-1)[..., 0]
+    best = jnp.maximum(jnp.where(le, idxs, -1).max(axis=-1), 0)
+    return best, seg_start, idxs
+
+
+def position(pts, npts, long, lat=None):
+    """World position at arc length `long` (+ optional right-lateral)."""
+    best, seg_start, idxs = _containing_segment(pts, npts, long)
+    a = _oh_pick2(pts[..., :-1, :], best, idxs)
+    b = _oh_pick2(pts[..., 1:, :], best, idxs)
+    s_b = _oh_pick(seg_start, best, idxs)
     seg = b - a
     seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))
     t = jnp.clip((long - s_b) / seg_len, 0.0, None)
@@ -83,16 +100,9 @@ def position(pts, npts, long, lat=None):
 
 def heading_at(pts, npts, long):
     """Heading (radians) of the segment containing `long`."""
-    s = arc_lengths(pts, npts)
-    P = pts.shape[-2]
-    seg_start = s[..., :-1]
-    idxs = jnp.arange(P - 1)
-    valid = idxs < (npts[..., None] - 1)
-    le = (seg_start <= long[..., None]) & valid
-    best = jnp.maximum(jnp.where(le, idxs, -1).max(axis=-1), 0)
-    take2 = lambda arr: jnp.take_along_axis(arr, best[..., None, None], axis=-2)[..., 0, :]
-    a = take2(pts[..., :-1, :])
-    b = take2(pts[..., 1:, :])
+    best, _, idxs = _containing_segment(pts, npts, long)
+    a = _oh_pick2(pts[..., :-1, :], best, idxs)
+    b = _oh_pick2(pts[..., 1:, :], best, idxs)
     return jnp.arctan2(b[..., 1] - a[..., 1], b[..., 0] - a[..., 0])
 
 
