@@ -29,6 +29,9 @@ class ScenarioScene:
     trk_pos: jnp.ndarray       # [S, TRK, T, 2]
     trk_heading: jnp.ndarray   # [S, TRK, T]
     trk_valid: jnp.ndarray     # [S, TRK, T]
+    trk_npts: jnp.ndarray      # [S, TRK] valid point count per track
+    trk_arclen: jnp.ndarray    # [S, TRK, T] static cumulative arc length
+    sdc_arclen: jnp.ndarray    # [S, PT] static cumulative arc length
     trk_len: jnp.ndarray       # [S, TRK]
     trk_wid: jnp.ndarray       # [S, TRK]
     trk_kind: jnp.ndarray      # [S, TRK] TRK_* codes

@@ -503,6 +503,24 @@ class BaseVectorEnv:
             base = make_vehicle_params(cls.astype(jnp.int32))
         else:
             base = make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32))
+        # user vehicle_config overrides (BaseVehicle reads these per vehicle,
+        # base_vehicle.py:447-484 _apply_throttle_brake + max_speed_km_h
+        # governor) — applied when set away from the defaults so explicit
+        # config keys are never silently ignored
+        vc = self.config["vehicle_config"]
+        if vc["max_engine_force"] != 800.0:
+            base = base.replace(
+                accel_gain=jnp.full((E,), BICYCLE_REF_ACCEL
+                                    * (vc["max_engine_force"] / 1100.0) / (800.0 / 1100.0))
+            )
+        if vc["max_brake_force"] != 130.0:
+            base = base.replace(
+                brake_gain=jnp.full((E,), BICYCLE_REF_BRAKE * (vc["max_brake_force"] / 130.0))
+            )
+        if vc["max_steering"] != 40.0:
+            base = base.replace(max_steer_rad=jnp.full((E,), float(np.radians(vc["max_steering"]))))
+        if vc["max_speed_km_h"] != 80.0:
+            base = base.replace(max_speed_kmh=jnp.full((E,), float(vc["max_speed_km_h"])))
         rd = self.config["random_dynamics"]
         if not rd:
             return base

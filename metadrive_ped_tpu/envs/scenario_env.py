@@ -237,10 +237,11 @@ class ScenarioEnv:
         if self.config["reactive_traffic"]:
             # TrajectoryIDM-style: vehicles follow their recorded path with
             # IDM speed control against the body ahead (idm_policy.py:426-493)
-            npts = trk_valid.sum(axis=2)
+            npts = scene.trk_npts[sidx]
+            arcl = scene.trk_arclen[sidx]
             path = trk_pos  # [E,TRK,T,2] as polyline per track
-            p_pos = polyline.position(path, npts, state.npc_long)
-            p_heading = polyline.heading_at(path, npts, state.npc_long)
+            p_pos = polyline.position(path, npts, state.npc_long, s=arcl)
+            p_heading = polyline.heading_at(path, npts, state.npc_long, s=arcl)
             # replace vehicle tracks by reactive pose; peds stay replayed
             is_vehicle = scene.trk_kind[sidx] == 0
             pos = jnp.where(is_vehicle[..., None], p_pos, pos)
@@ -253,11 +254,11 @@ class ScenarioEnv:
         """Advance reactive-traffic arc positions with IDM speed control."""
         from metadrive_ped_tpu.ops.idm import idm_acceleration
         scene, sidx = self.scene, state.sidx
-        trk_valid = scene.trk_valid[sidx]
-        npts = trk_valid.sum(axis=2)
+        npts = scene.trk_npts[sidx]
+        arcl = scene.trk_arclen[sidx]
         path = scene.trk_pos[sidx]
-        pos = polyline.position(path, npts, state.npc_long)
-        heading = polyline.heading_at(path, npts, state.npc_long)
+        pos = polyline.position(path, npts, state.npc_long, s=arcl)
+        heading = polyline.heading_at(path, npts, state.npc_long, s=arcl)
         # front gap: nearest other body roughly ahead along heading
         cand = jnp.concatenate([pos, ego.pos[:, None]], axis=1)
         cand_speed = jnp.concatenate([state.npc_speed, ego.speed[:, None]], axis=1)
@@ -283,11 +284,14 @@ class ScenarioEnv:
         dt = self.config["physics_world_step_size"] * self.config["decision_repeat"]
         speed = jnp.clip(state.npc_speed + acc * 3.0 * dt, 0.0, 16.7)
         long = state.npc_long + speed * dt
-        total = polyline.total_length(path, npts)
+        total = polyline.total_length(path, npts, s=arcl)
         long = jnp.minimum(long, total)
         return state.replace(npc_long=long, npc_speed=speed)
 
-    def _observe(self, state):
+    def _observe(self, state, cached=None):
+        """cached = (long, lat, traj_heading, npc_pose) computed by
+        _step_impl this step — avoids re-running the polyline localization
+        and the one-hot track-pose contraction twice per step."""
         cfg = self.config
         scene, sidx, ego = self.scene, state.sidx, state.ego
         vc = cfg["vehicle_config"]
@@ -295,8 +299,13 @@ class ScenarioEnv:
 
         pts = scene.sdc_pts[sidx]
         npts = scene.sdc_npts[sidx]
-        long, lat = polyline.local_coordinates(pts, npts, ego.pos)
-        traj_heading = polyline.heading_at(pts, npts, long)
+        arcl = scene.sdc_arclen[sidx]
+        if cached is not None:
+            long, lat, traj_heading, npc_pose = cached
+        else:
+            long, lat = polyline.local_coordinates(pts, npts, ego.pos, s=arcl)
+            traj_heading = polyline.heading_at(pts, npts, long, s=arcl)
+            npc_pose = None
 
         # --- side detector rays vs continuous lines (state_obs.py:77-86) ---
         n_side = vc["side_detector"]["num_lasers"]
@@ -327,13 +336,14 @@ class ScenarioEnv:
         # --- trajectory navi (trajectory_navigation.py:106-146) ------------
         next_idx = jnp.maximum((long / DISCRETE_LEN).astype(jnp.int32) + 1, 0)
         ks = jnp.arange(1, NUM_WAY_POINT)  # ckpts[1:]
-        total = polyline.total_length(pts, npts)
+        total = polyline.total_length(pts, npts, s=arcl)
         ck_long = jnp.minimum(
             (next_idx[:, None] + ks[None, :]).astype(jnp.float32) * DISCRETE_LEN,
             total[:, None],
         )
         ck_pos = polyline.position(
-            pts[:, None].repeat(NUM_WAY_POINT - 1, 1), npts[:, None], ck_long
+            pts[:, None].repeat(NUM_WAY_POINT - 1, 1), npts[:, None], ck_long,
+            s=arcl[:, None],
         )
         dirv = ck_pos - ego.pos[:, None, :]
         dn = jnp.sqrt((dirv ** 2).sum(-1))
@@ -358,7 +368,9 @@ class ScenarioEnv:
         # --- lidar vs replayed bodies --------------------------------------
         parts = [side, core, navi]
         if vc["lidar"]["num_lasers"] > 0:
-            npc_pos, npc_heading, npc_active = self._npc_pose(state)
+            npc_pos, npc_heading, npc_active = (
+                npc_pose if npc_pose is not None else self._npc_pose(state)
+            )
             parts.append(raycast.lidar_cloud(
                 ego.pos, ego.heading, vc["lidar"]["num_lasers"], vc["lidar"]["distance"],
                 npc_pos, npc_heading, scene.trk_len[sidx], scene.trk_wid[sidx], npc_active,
@@ -400,9 +412,10 @@ class ScenarioEnv:
         # trajectory localization
         pts = scene.sdc_pts[state.sidx]
         npts = scene.sdc_npts[state.sidx]
-        long, lat = polyline.local_coordinates(pts, npts, ego.pos)
-        traj_heading = polyline.heading_at(pts, npts, long)
-        total = polyline.total_length(pts, npts)
+        arcl = scene.sdc_arclen[state.sidx]
+        long, lat = polyline.local_coordinates(pts, npts, ego.pos, s=arcl)
+        traj_heading = polyline.heading_at(pts, npts, long, s=arcl)
+        total = polyline.total_length(pts, npts, s=arcl)
         route_completion = long / jnp.maximum(total, 1e-3)
         state = state.replace(last_long=state.cur_long, cur_long=long, cur_lat=lat)
 
@@ -512,6 +525,7 @@ class ScenarioEnv:
             TerminationState.CRASH_HUMAN: crash_h,
         }
 
+        npc_pose = (npc_pos, npc_heading, npc_active)
         if cfg["auto_reset"]:
             new_keys = jax.vmap(jax.random.split)(state.rng)
             step_rng, reset_rng = new_keys[:, 0], new_keys[:, 1]
@@ -528,6 +542,20 @@ class ScenarioEnv:
                 ),
                 fresh, state.replace(rng=step_rng),
             )
+            # refresh the cached obs inputs for re-spawned rows: spawn sits at
+            # arc length 0 of the new sdc trajectory; tracks are at t=0 (a
+            # static slice — no one-hot contraction needed)
+            d1 = done[:, None]
+            long = jnp.where(done, 0.0, long)
+            lat = jnp.where(done, 0.0, lat)
+            traj_heading = jnp.where(
+                done, scene.sdc_start_heading[state.sidx], traj_heading
+            )
+            npc_pose = (
+                jnp.where(d1[..., None], scene.trk_pos[state.sidx][:, :, 0], npc_pos),
+                jnp.where(d1, scene.trk_heading[state.sidx][:, :, 0], npc_heading),
+                jnp.where(d1, scene.trk_valid[state.sidx][:, :, 0], npc_active),
+            )
 
-        obs = self._observe(state)
+        obs = self._observe(state, cached=(long, lat, traj_heading, npc_pose))
         return state, obs, reward, terminated, truncated, info

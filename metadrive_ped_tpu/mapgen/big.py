@@ -31,7 +31,8 @@ class BIG:
     MAX_TRIAL = 5
 
     def __init__(self, lane_num, lane_width, global_network, exit_length=50.0, random_seed=None):
-        self.np_random = np.random.RandomState(random_seed)
+        from metadrive_ped_tpu.mapgen.ref_random import ref_rng
+        self.np_random = ref_rng(random_seed if random_seed is not None else 0)
         self._lane_num = lane_num
         self._lane_width = lane_width
         self._global_network = global_network

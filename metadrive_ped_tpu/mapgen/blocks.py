@@ -181,7 +181,9 @@ class PGBlock:
         self.block_index = block_index
         self.pre_block_socket = pre_block_socket
         self.global_network = global_network
-        self.np_random = np.random.RandomState(random_seed)
+        from metadrive_ped_tpu.mapgen.ref_random import ref_rng
+        self.random_seed = random_seed
+        self.np_random = ref_rng(random_seed)
         self.number_of_sample_trial = 0
         self.block_network = None
         self._sockets = OrderedDict()
@@ -239,10 +241,14 @@ class PGBlock:
         return len(self.pre_block_socket.get_positive_lanes(self.global_network))
 
     def sample_parameters(self):
-        # reference: base_runnable.py:81-93 (fresh RandomState per trial)
+        # reference: base_runnable.py:81-93 — one randint(1e6) per trial,
+        # then every member space is re-seeded with that value and consumes
+        # exactly one uniform, so all parameters derive from the same u
+        # (see mapgen/ref_random.parameter_u)
+        from metadrive_ped_tpu.mapgen.ref_random import parameter_u
         seed = self.np_random.randint(0, int(1e6))
-        rs = np.random.RandomState(seed)
-        self.config = {k: space.sample(rs) for k, space in self.PARAMETER_SPACE.items()}
+        u = parameter_u(seed)
+        self.config = {k: space.sample_from_u(u) for k, space in self.PARAMETER_SPACE.items()}
 
     def construct(self, config=None, check_overlap=True):
         """Sample + build + merge into the global network; returns success."""

@@ -163,4 +163,20 @@ def build_scenario_pack(sds):
             pack[k] = np.stack(arrs)
         else:
             pack[k] = np.stack([_pad_to_shape(a, max_shape[k]) for a in arrs])
+
+    # static arc-length tables — computed once here so the jit'd step never
+    # re-runs the cumsum over T/PT (polyline.* accept them via s=)
+    def np_arc(pts, npts):
+        d = np.sqrt(((pts[..., 1:, :] - pts[..., :-1, :]) ** 2).sum(-1))
+        idx = np.arange(pts.shape[-2] - 1)
+        valid = idx < (npts[..., None] - 1)
+        d = np.where(valid, d, 0.0)
+        return np.concatenate(
+            [np.zeros_like(d[..., :1]), np.cumsum(d, axis=-1)], axis=-1
+        ).astype(np.float32)
+
+    trk_npts = pack["trk_valid"].sum(-1).astype(np.int32)
+    pack["trk_npts"] = trk_npts
+    pack["trk_arclen"] = np_arc(pack["trk_pos"], trk_npts)
+    pack["sdc_arclen"] = np_arc(pack["sdc_pts"], pack["sdc_npts"])
     return pack

@@ -13,6 +13,11 @@ class BoxSpace:
     def sample(self, rs):
         return float(rs.uniform(self.min, self.max))
 
+    def sample_from_u(self, u):
+        """Reference Box.sample bounded branch: uniform(low, high) = the
+        space's first random_sample scaled (pg_space.py:443-473)."""
+        return self.min + (self.max - self.min) * u
+
 
 class DiscreteSpace:
     """Inclusive integer range [min, max]."""
@@ -23,12 +28,20 @@ class DiscreteSpace:
     def sample(self, rs):
         return int(rs.randint(0, self.max - self.min + 1)) + self.min
 
+    def sample_from_u(self, u):
+        """Reference int-Box sample: floor(uniform(min, max+1))."""
+        v = int(self.min + (self.max + 1 - self.min) * u)
+        return min(v, self.max)
+
 
 class ConstantSpace:
     def __init__(self, value):
         self.value = value
 
     def sample(self, rs):
+        return self.value
+
+    def sample_from_u(self, u):
         return self.value
 
 

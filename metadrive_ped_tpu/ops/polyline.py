@@ -36,10 +36,12 @@ def arc_lengths(pts, npts):
     return s
 
 
-def local_coordinates(pts, npts, pos):
+def local_coordinates(pts, npts, pos, s=None):
     """(long, lat) of pos on the polyline; pts [..,P,2], pos [..,2].
 
     lat sign follows the lane convention: positive to the RIGHT of travel.
+    ``s`` = precomputed arc_lengths(pts, npts) (static per scenario — pass
+    it from the scene pack to skip the per-step cumsum).
     """
     a = pts[..., :-1, :]
     b = pts[..., 1:, :]
@@ -54,7 +56,8 @@ def local_coordinates(pts, npts, pos):
     d2 = jnp.where(valid, d2, jnp.inf)
     best = jnp.argmin(d2, axis=-1)
 
-    s = arc_lengths(pts, npts)
+    if s is None:
+        s = arc_lengths(pts, npts)
     t_b = _oh_pick(t, best, idxs)
     seg_b = _oh_pick2(seg, best, idxs)
     a_b = _oh_pick2(a, best, idxs)
@@ -69,9 +72,10 @@ def local_coordinates(pts, npts, pos):
     return long, lat
 
 
-def _containing_segment(pts, npts, long):
+def _containing_segment(pts, npts, long, s=None):
     """Index of the last valid segment whose start arc-length <= long."""
-    s = arc_lengths(pts, npts)
+    if s is None:
+        s = arc_lengths(pts, npts)
     P = pts.shape[-2]
     seg_start = s[..., :-1]
     idxs = jnp.arange(P - 1)
@@ -81,9 +85,9 @@ def _containing_segment(pts, npts, long):
     return best, seg_start, idxs
 
 
-def position(pts, npts, long, lat=None):
+def position(pts, npts, long, lat=None, s=None):
     """World position at arc length `long` (+ optional right-lateral)."""
-    best, seg_start, idxs = _containing_segment(pts, npts, long)
+    best, seg_start, idxs = _containing_segment(pts, npts, long, s)
     a = _oh_pick2(pts[..., :-1, :], best, idxs)
     b = _oh_pick2(pts[..., 1:, :], best, idxs)
     s_b = _oh_pick(seg_start, best, idxs)
@@ -98,14 +102,15 @@ def position(pts, npts, long, lat=None):
     return p
 
 
-def heading_at(pts, npts, long):
+def heading_at(pts, npts, long, s=None):
     """Heading (radians) of the segment containing `long`."""
-    best, _, idxs = _containing_segment(pts, npts, long)
+    best, _, idxs = _containing_segment(pts, npts, long, s)
     a = _oh_pick2(pts[..., :-1, :], best, idxs)
     b = _oh_pick2(pts[..., 1:, :], best, idxs)
     return jnp.arctan2(b[..., 1] - a[..., 1], b[..., 0] - a[..., 0])
 
 
-def total_length(pts, npts):
-    s = arc_lengths(pts, npts)
+def total_length(pts, npts, s=None):
+    if s is None:
+        s = arc_lengths(pts, npts)
     return s[..., -1]

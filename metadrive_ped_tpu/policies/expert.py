@@ -3,10 +3,11 @@
 Architecture matches the reference numpy expert
 (metadrive/examples/ppo_expert/numpy_expert.py:1-80): 275 -> 256 -> 256 ->
 4 with tanh activations; output splits into (mean, log_std); the
-obs-correction flips dims 10 and 15 (coordinate-convention fix). Weights are
-the reference's released checkpoint asset (expert_weights.npz) loaded at
-runtime when available; otherwise zero-initialized (action = straight
-coast) so the policy stays usable as a smoke driver.
+obs-correction flips dims 10 and 15 (coordinate-convention fix). The
+reference's released checkpoint asset (expert_weights.npz) is vendored in
+metadrive_ped_tpu/assets/, so the policy works standalone; a missing
+checkpoint is a hard error unless zero-init is explicitly requested
+(allow_zero_init=True).
 """
 import os
 
@@ -14,16 +15,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_VENDORED = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "assets", "expert_weights.npz")
 _DEFAULT_WEIGHT_PATHS = (
     os.environ.get("METADRIVE_EXPERT_WEIGHTS", ""),
-    "/root/reference/metadrive/examples/ppo_expert/expert_weights.npz",
+    _VENDORED,
 )
 
 OBS_DIM = 275
 
 
-def load_expert_params(path=None):
-    """Returns dict of jnp arrays (w1,b1,w2,b2,w3,b3) or zero-init."""
+def load_expert_params(path=None, allow_zero_init=False):
+    """Returns dict of jnp arrays (w1,b1,w2,b2,w3,b3).
+
+    Raises FileNotFoundError when no checkpoint is found, unless
+    allow_zero_init=True (action = straight coast, smoke-driving only)."""
     paths = (path,) if path else _DEFAULT_WEIGHT_PATHS
     for p in paths:
         if p and os.path.exists(p):
@@ -36,6 +42,11 @@ def load_expert_params(path=None):
                 w3=jnp.asarray(w["default_policy/fc_out/kernel"]),
                 b3=jnp.asarray(w["default_policy/fc_out/bias"]),
             )
+    if not allow_zero_init:
+        raise FileNotFoundError(
+            f"expert_weights.npz not found (searched {paths}); pass "
+            "allow_zero_init=True for an explicit zero-initialized smoke policy"
+        )
     return dict(
         w1=jnp.zeros((OBS_DIM, 256)), b1=jnp.zeros(256),
         w2=jnp.zeros((256, 256)), b2=jnp.zeros(256),

@@ -35,41 +35,170 @@ class ScenarioDescription(dict):
     METADATA_KEYS = {METADRIVE_PROCESSED, COORDINATE, TIMESTEP}
 
     SDC_ID = "sdc_id"
+    OBJECT_ID = "object_id"
+    POLYLINE = "polyline"
 
     COORDINATE_METADRIVE = "metadrive"
 
+    # native python / numpy types allowed anywhere in an SD (the reference
+    # guards pickle portability the same way, scenario_description.py:226)
+    ALLOW_TYPES = (int, float, str, np.ndarray, dict, list, tuple, type(None), bool,
+                   np.bool_, np.integer, np.floating)
+
     @classmethod
-    def sanity_check(cls, d):
-        """Schema/shape validation (scenario_description.py:200-322)."""
+    def sanity_check(cls, d, check_self_type=False, valid_check=False):
+        """Full schema/shape/type validation, mirroring the reference's
+        matrix (scenario_description.py:200-322): first-level keys,
+        recursive type whitelist, per-track state-array temporal
+        consistency + optional valid-masking check, dynamic map states,
+        map-feature lane polylines, metadata keys and object_id alignment.
+        """
+        if check_self_type:
+            assert isinstance(d, dict)
+            assert not isinstance(d, ScenarioDescription)
         assert cls.FIRST_LEVEL_KEYS.issubset(d.keys()), (
             f"missing keys: {cls.FIRST_LEVEL_KEYS - set(d.keys())}"
         )
+        _recursive_check_type(d, cls.ALLOW_TYPES)
         T = d[cls.LENGTH]
+
         assert isinstance(d[cls.TRACKS], dict)
         for obj_id, tr in d[cls.TRACKS].items():
-            assert cls.STATE_DICT_KEYS.issubset(tr.keys()), (obj_id, tr.keys())
+            cls._check_object_state_dict(tr, T, obj_id, valid_check=valid_check)
+            assert cls.HEADING in tr[cls.STATE], "heading is required for an object"
+            assert cls.POSITION in tr[cls.STATE], "position is required for an object"
             st = tr[cls.STATE]
             assert np.asarray(st[cls.POSITION]).shape == (T, 3), obj_id
             assert np.asarray(st[cls.HEADING]).shape == (T,), obj_id
             assert np.asarray(st[cls.VELOCITY]).shape == (T, 2), obj_id
             assert np.asarray(st[cls.VALID]).shape == (T,), obj_id
+
+        assert isinstance(d[cls.DYNAMIC_MAP_STATES], dict)
+        for obj_id, tr in d[cls.DYNAMIC_MAP_STATES].items():
+            cls._check_object_state_dict(tr, T, obj_id, valid_check=False)
+
+        assert isinstance(d[cls.MAP_FEATURES], dict)
+        cls._check_map_features(d[cls.MAP_FEATURES])
+
         md = d[cls.METADATA]
-        assert cls.METADATA_KEYS.issubset(md.keys())
+        assert isinstance(md, dict)
+        assert cls.METADATA_KEYS.issubset(md.keys()), (
+            f"missing metadata keys: {cls.METADATA_KEYS - set(md.keys())}"
+        )
         assert np.asarray(md[cls.TIMESTEP]).shape == (T,)
         return True
 
+    @classmethod
+    def _check_map_features(cls, map_features):
+        """Every lane feature must carry a centerline polyline
+        (scenario_description.py:260-268)."""
+        for fid, feat in map_features.items():
+            if MetaDriveType.is_lane(feat[cls.TYPE]):
+                assert cls.POLYLINE in feat, f"no lane center line in {fid}"
+                assert isinstance(feat[cls.POLYLINE], (np.ndarray, list, tuple))
 
-# MetaDriveType object-type strings shared with the ScenarioNet data format
-# (reference: metadrive/type.py)
+    @classmethod
+    def _check_object_state_dict(cls, obj_state, T, object_id, valid_check=True):
+        """Per-object state dict checks (scenario_description.py:272-318)."""
+        assert set(obj_state).issuperset(cls.STATE_DICT_KEYS)
+        assert MetaDriveType.has_type(obj_state[cls.TYPE]), (
+            f"unknown MetaDriveType: {obj_state[cls.TYPE]}"
+        )
+        assert isinstance(obj_state[cls.STATE], dict)
+        for state_key, arr in obj_state[cls.STATE].items():
+            assert isinstance(arr, (np.ndarray, list, tuple)), (object_id, state_key)
+            assert len(arr) == T, (object_id, state_key, len(arr), T)
+            if not isinstance(arr, np.ndarray):
+                continue
+            assert arr.ndim in (1, 2), (object_id, state_key, arr.ndim)
+            if arr.ndim == 2:
+                assert arr.shape[1] != 0, "convert 1-wide state to a 1D array"
+            if valid_check and state_key == cls.VALID:
+                assert np.sum(arr) >= 1, f"{object_id} never valid; remove it"
+            if valid_check and cls.VALID in obj_state[cls.STATE]:
+                _a = arr[..., :2] if state_key == cls.POSITION else arr
+                invalid = ~np.asarray(obj_state[cls.STATE][cls.VALID], bool)
+                if _a.dtype.kind == "f":
+                    assert abs(np.sum(_a[invalid])) < 1e-2, (
+                        f"{state_key} non-zero on invalid frames of {object_id}"
+                    )
+        assert isinstance(obj_state[cls.METADATA], dict)
+        for k in (cls.TYPE, cls.OBJECT_ID):
+            assert k in obj_state[cls.METADATA], (object_id, k)
+        assert obj_state[cls.METADATA][cls.OBJECT_ID] == object_id
+
+
+def _recursive_check_type(obj, allow_types, depth=0):
+    assert isinstance(obj, allow_types), f"disallowed type in SD: {type(obj)}"
+    assert depth < 1000, "recursion too deep (cycle?)"
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            assert isinstance(k, (str, int)), f"bad dict key type {type(k)}"
+            _recursive_check_type(v, allow_types, depth + 1)
+    elif isinstance(obj, (list, tuple)):
+        for v in obj:
+            _recursive_check_type(v, allow_types, depth + 1)
+
+
+# MetaDriveType object/lane/line type strings shared with the ScenarioNet
+# data format (reference: metadrive/type.py)
 class MetaDriveType:
+    UNSET = "UNSET"
     VEHICLE = "VEHICLE"
     PEDESTRIAN = "PEDESTRIAN"
     CYCLIST = "CYCLIST"
+    OTHER = "OTHER"
     TRAFFIC_CONE = "TRAFFIC_CONE"
     TRAFFIC_BARRIER = "TRAFFIC_BARRIER"
+    TRAFFIC_OBJECT = "TRAFFIC_OBJECT"
+    TRAFFIC_LIGHT = "TRAFFIC_LIGHT"
+    BUILDING = "BUILDING"
     LANE_SURFACE_STREET = "LANE_SURFACE_STREET"
+    LANE_SURFACE_UNSTRUCTURE = "LANE_SURFACE_UNSTRUCTURE"
+    LANE_UNKNOWN = "LANE_UNKNOWN"
+    LANE_FREEWAY = "LANE_FREEWAY"
+    LANE_BIKE_LANE = "LANE_BIKE_LANE"
+    LINE_UNKNOWN = "UNKNOWN_LINE"
     LINE_BROKEN_SINGLE_WHITE = "ROAD_LINE_BROKEN_SINGLE_WHITE"
     LINE_SOLID_SINGLE_WHITE = "ROAD_LINE_SOLID_SINGLE_WHITE"
+    LINE_SOLID_DOUBLE_WHITE = "ROAD_LINE_SOLID_DOUBLE_WHITE"
+    LINE_BROKEN_SINGLE_YELLOW = "ROAD_LINE_BROKEN_SINGLE_YELLOW"
+    LINE_BROKEN_DOUBLE_YELLOW = "ROAD_LINE_BROKEN_DOUBLE_YELLOW"
     LINE_SOLID_SINGLE_YELLOW = "ROAD_LINE_SOLID_SINGLE_YELLOW"
+    LINE_SOLID_DOUBLE_YELLOW = "ROAD_LINE_SOLID_DOUBLE_YELLOW"
+    LINE_PASSING_DOUBLE_YELLOW = "ROAD_LINE_PASSING_DOUBLE_YELLOW"
     BOUNDARY_LINE = "ROAD_EDGE_BOUNDARY"
+    BOUNDARY_MEDIAN = "ROAD_EDGE_MEDIAN"
     BOUNDARY_SIDEWALK = "ROAD_EDGE_SIDEWALK"
+    STOP_SIGN = "STOP_SIGN"
+    CROSSWALK = "CROSSWALK"
+    SPEED_BUMP = "SPEED_BUMP"
+    DRIVEWAY = "DRIVEWAY"
+    GROUND = "GROUND"
+
+    # traffic light states (metadrive/type.py LIGHT_*)
+    LIGHT_GREEN = "TRAFFIC_LIGHT_GREEN"
+    LIGHT_RED = "TRAFFIC_LIGHT_RED"
+    LIGHT_YELLOW = "TRAFFIC_LIGHT_YELLOW"
+    LIGHT_UNKNOWN = "TRAFFIC_LIGHT_UNKNOWN"
+
+    @classmethod
+    def has_type(cls, type_string):
+        return isinstance(type_string, str) and type_string in {
+            v for k, v in vars(cls).items() if isinstance(v, str) and not k.startswith("_")
+        }
+
+    @classmethod
+    def is_lane(cls, type_string):
+        return type_string in (
+            cls.LANE_SURFACE_STREET, cls.LANE_SURFACE_UNSTRUCTURE,
+            cls.LANE_UNKNOWN, cls.LANE_FREEWAY, cls.LANE_BIKE_LANE,
+        )
+
+    @classmethod
+    def is_vehicle(cls, type_string):
+        return type_string == cls.VEHICLE
+
+    @classmethod
+    def is_participant(cls, type_string):
+        return type_string in (cls.PEDESTRIAN, cls.CYCLIST)

@@ -94,21 +94,27 @@ def export_scenarios(env, n_steps, policy_fn=None, actions=None, seeds=None):
         term = outs["terminated"][:, e]
         t_end = int(np.argmax(term)) + 1 if term.any() else T
 
-        def track(typ, pos2, heading, vel, valid, length, width, height):
+        def track(obj_id, typ, pos2, heading, vel, valid, length, width, height):
+            # zero out invalid frames so valid_check-style masking holds
+            # (the reference nulls invalid state rows the same way)
+            v = np.asarray(valid, bool)[:, None]
             return {
                 SD.TYPE: typ,
                 SD.STATE: {
                     SD.POSITION: np.concatenate(
-                        [pos2, np.zeros((T, 1), np.float32)], axis=-1
-                    ),
-                    SD.HEADING: heading.astype(np.float32),
-                    SD.VELOCITY: vel.astype(np.float32),
-                    SD.VALID: valid,
-                    "length": np.full((T,), length, np.float32),
-                    "width": np.full((T,), width, np.float32),
-                    "height": np.full((T,), height, np.float32),
+                        [pos2 * v, np.zeros((T, 1), np.float32)], axis=-1
+                    ).astype(np.float32),
+                    SD.HEADING: (heading * v[:, 0]).astype(np.float32),
+                    SD.VELOCITY: (vel * v).astype(np.float32),
+                    SD.VALID: np.asarray(valid, bool),
+                    "length": (np.full((T,), length) * v[:, 0]).astype(np.float32),
+                    "width": (np.full((T,), width) * v[:, 0]).astype(np.float32),
+                    "height": (np.full((T,), height) * v[:, 0]).astype(np.float32),
                 },
-                SD.METADATA: {"track_length": T, "object_id": None, "dataset": "metadrive_ped_tpu"},
+                SD.METADATA: {
+                    "track_length": T, SD.OBJECT_ID: obj_id, SD.TYPE: typ,
+                    "dataset": "metadrive_ped_tpu",
+                },
             }
 
         valid_t = np.arange(T) < t_end
@@ -119,8 +125,8 @@ def export_scenarios(env, n_steps, policy_fn=None, actions=None, seeds=None):
         )
         tracks = {
             "sdc": track(
-                MetaDriveType.VEHICLE, outs["ego_pos"][:, e], ego_heading, ego_vel,
-                valid_t, 4.515, 1.852, 1.19
+                "sdc", MetaDriveType.VEHICLE, outs["ego_pos"][:, e], ego_heading,
+                ego_vel, valid_t, 4.515, 1.852, 1.19
             )
         }
         npc_active = outs["npc_active"][:, e]  # [T,N]
@@ -130,7 +136,7 @@ def export_scenarios(env, n_steps, policy_fn=None, actions=None, seeds=None):
             h = outs["npc_heading"][:, e, n]
             v = outs["npc_speed"][:, e, n, None] * np.stack([np.cos(h), np.sin(h)], axis=-1)
             tracks[f"npc_{n}"] = track(
-                MetaDriveType.VEHICLE, outs["npc_pos"][:, e, n], h, v,
+                f"npc_{n}", MetaDriveType.VEHICLE, outs["npc_pos"][:, e, n], h, v,
                 npc_active[:, n] & valid_t, 4.515, 1.852, 1.19
             )
 

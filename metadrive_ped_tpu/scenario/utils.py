@@ -1,4 +1,4 @@
-"""Scenario dataset IO.
+"""Scenario dataset IO + scenario equality assertion.
 
 Mirrors the reference's dataset layout (scenario/utils.py:324-397):
 a directory with ``dataset_summary.pkl`` (ordered dict: filename ->
@@ -8,7 +8,68 @@ one pickled ScenarioDescription per file.
 import os
 import pickle
 
+import numpy as np
+
 from metadrive_ped_tpu.scenario.description import ScenarioDescription as SD
+
+NP_ARRAY_DECIMAL = 3
+VELOCITY_DECIMAL = 1  # velocity can have larger error
+MIN_LENGTH_RATIO = 0.8
+
+
+def _wrap_to_pi(x):
+    return (np.asarray(x) + np.pi) % (2 * np.pi) - np.pi
+
+
+def assert_scenario_equal(scenarios1, scenarios2, only_compare_sdc=False,
+                          check_self_type=True):
+    """Assert two {id: SD} dicts describe the same episodes
+    (reference: scenario/utils.py:403-500 assert_scenario_equal): both pass
+    sanity_check, same ids, and per-track position/heading/velocity arrays
+    agree to NP_ARRAY_DECIMAL/VELOCITY_DECIMAL over the shared prefix."""
+    assert set(scenarios1.keys()) == set(scenarios2.keys())
+    for sid in scenarios1.keys():
+        old, new = SD(dict(scenarios1[sid])), SD(dict(scenarios2[sid]))
+        SD.sanity_check(old)
+        SD.sanity_check(new)
+        assert old[SD.LENGTH] >= new[SD.LENGTH], (old[SD.LENGTH], new[SD.LENGTH])
+
+        if only_compare_sdc:
+            ids = [(old[SD.METADATA][SD.SDC_ID], new[SD.METADATA][SD.SDC_ID])]
+        else:
+            assert len(old[SD.TRACKS]) == len(new[SD.TRACKS]), "obj num mismatch"
+            ids = [
+                (tid, tid) for tid in old[SD.TRACKS]
+                if tid in new[SD.TRACKS] and tid != new[SD.METADATA][SD.SDC_ID]
+            ]
+            if only_compare_sdc is False and not ids:
+                ids = [(old[SD.METADATA][SD.SDC_ID], new[SD.METADATA][SD.SDC_ID])]
+
+        for tid1, tid2 in ids:
+            st1 = old[SD.TRACKS][tid1][SD.STATE]
+            st2 = new[SD.TRACKS][tid2][SD.STATE]
+            min_len = min(len(st1[SD.POSITION]), len(st2[SD.POSITION]))
+            max_len = max(len(st1[SD.POSITION]), len(st2[SD.POSITION]))
+            assert min_len / max_len > MIN_LENGTH_RATIO, (
+                f"track length ratio {min_len / max_len}"
+            )
+            for k in st1.keys():
+                if k in ("action", "throttle_brake", "steering") or k not in st2:
+                    continue
+                a1 = np.asarray(st1[k][:min_len], np.float64)
+                a2 = np.asarray(st2[k][:min_len], np.float64)
+                if k == SD.POSITION:
+                    np.testing.assert_almost_equal(
+                        a1[..., :2], a2[..., :2], decimal=NP_ARRAY_DECIMAL
+                    )
+                elif k == SD.HEADING:
+                    np.testing.assert_almost_equal(
+                        _wrap_to_pi(a1 - a2), np.zeros(a1.shape),
+                        decimal=NP_ARRAY_DECIMAL
+                    )
+                elif k == SD.VELOCITY:
+                    np.testing.assert_almost_equal(a1, a2, decimal=VELOCITY_DECIMAL)
+            assert old[SD.TRACKS][tid1][SD.TYPE] == new[SD.TRACKS][tid2][SD.TYPE]
 
 SUMMARY_FILE = "dataset_summary.pkl"
 MAPPING_FILE = "dataset_mapping.pkl"

@@ -194,3 +194,54 @@ def test_dump_and_load_all_maps(tmp_path):
     o1 = env.step(a1)[0]
     o2 = env2.step(a1)[0]
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_vehicle_config_dynamics_overrides():
+    """max_speed_km_h / max_engine_force / max_steering vehicle_config keys
+    must reach the dynamics (reference: _apply_throttle_brake reads them per
+    vehicle, base_vehicle.py:447-484). VERDICT r1: these keys were dead."""
+    import numpy as np
+    from metadrive_ped_tpu import MetaDriveEnv
+
+    def top_speed(cfg):
+        env = MetaDriveEnv(dict(
+            num_envs=1, map="SSSS", num_scenarios=1, traffic_density=0.0,
+            auto_reset=False, vehicle_config=dict(lidar=dict(num_lasers=0), **cfg),
+        ))
+        env.reset(seed=0)
+        vmax = 0.0
+        for _ in range(60):
+            _, _, term, _, _ = env.step(np.array([[0.0, 1.0]]))
+            vmax = max(vmax, float(np.asarray(env._state.ego.speed)[0]))
+            if bool(np.asarray(term)[0]):
+                break
+        env.close()
+        return vmax * 3.6
+
+    capped = top_speed(dict(max_speed_km_h=40.0))
+    free = top_speed(dict())
+    assert capped < 47.0, f"max_speed_km_h=40 must cap the ego, got {capped}"
+    assert free > capped + 10.0
+
+    weak = top_speed(dict(max_engine_force=200.0))
+    assert weak < free - 5.0, "max_engine_force=200 must slow acceleration"
+
+
+def test_expert_weights_vendored():
+    """The released PPO expert checkpoint ships inside the package; loading
+    must not depend on the reference checkout (VERDICT r1 item 6)."""
+    import os
+    import numpy as np
+    import pytest
+    from metadrive_ped_tpu.policies import expert
+
+    p = os.path.join(os.path.dirname(expert.__file__), "..", "assets",
+                     "expert_weights.npz")
+    assert os.path.exists(p)
+    params = expert.load_expert_params()
+    assert float(np.abs(np.asarray(params["w1"])).sum()) > 0
+    with pytest.raises(FileNotFoundError):
+        expert.load_expert_params(path="/nonexistent/w.npz")
+    zero = expert.load_expert_params(path="/nonexistent/w.npz",
+                                     allow_zero_init=True)
+    assert float(np.abs(np.asarray(zero["w1"])).sum()) == 0
