@@ -35,7 +35,22 @@ class ScenarioScene:
     trk_len: jnp.ndarray       # [S, TRK]
     trk_wid: jnp.ndarray       # [S, TRK]
     trk_kind: jnp.ndarray      # [S, TRK] TRK_* codes
+    trk_first_t: jnp.ndarray   # [S, TRK] first recorded-valid timestep
+    # TrajectoryIDM eligibility, precomputed against the recorded sdc pose at
+    # the track's first valid step (scenario_traffic_manager.py:217-235:
+    # route > 5 m, spawns behind the ego within 15 m laterally, heading
+    # within pi/2)
+    trk_reactive_ok: jnp.ndarray  # [S, TRK] bool
     scenario_len: jnp.ndarray  # [S] valid timesteps
+    # map-feature lane network (ScenarioMap builds ScenarioLane PointLanes
+    # from map_features, component/map/scenario_map.py:9 +
+    # scenario_block.py:25-31); resampled centerlines for ego on-lane
+    # localization (need_lane_localization)
+    lane_pts: jnp.ndarray      # [S, LN, LP, 2]
+    lane_npts: jnp.ndarray     # [S, LN]
+    lane_width: jnp.ndarray    # [S, LN]
+    lane_valid: jnp.ndarray    # [S, LN]
+    lane_arclen: jnp.ndarray   # [S, LN, LP]
     seg_p0: jnp.ndarray        # [S, B, 2] map boundary segments
     seg_p1: jnp.ndarray
     seg_type: jnp.ndarray
@@ -72,6 +87,12 @@ class ScenarioSimState:
     cur_long: jnp.ndarray      # [E]
     cur_lat: jnp.ndarray       # [E]
     # reactive-traffic state (TrajectoryIDMPolicy): arc position + speed on
-    # each track's own recorded path
+    # each track's own recorded path; npc_acc carries the last committed IDM
+    # acceleration between act batches (staggered speed control,
+    # scenario_traffic_manager.py:75 episode_step % IDM_ACT_BATCH_SIZE);
+    # npc_dead marks vehicles cleaned at arrive_destination
+    # (idm_policy.py:449-455 DEST_REGION_RADIUS)
     npc_long: jnp.ndarray      # [E, TRK]
     npc_speed: jnp.ndarray     # [E, TRK]
+    npc_acc: jnp.ndarray       # [E, TRK]
+    npc_dead: jnp.ndarray      # [E, TRK] bool

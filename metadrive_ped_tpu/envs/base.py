@@ -121,6 +121,10 @@ class BaseVectorEnv:
                 random_agent_model=False,
                 decision_repeat=5,
                 physics_world_step_size=0.02,
+                # rigid contact resolution between ego and NPC/object/
+                # building bodies (Bullet resolves contacts every doPhysics,
+                # engine_core.py:350-352). Off = flags only, bodies overlap.
+                contact_response=True,
                 # camera observation family (reference: obs/image_obs.py +
                 # component/sensors/*_camera.py; rendered here by the
                 # TPU raycast renderer, ops/camera.py)
@@ -601,6 +605,54 @@ class BaseVectorEnv:
             jnp.concatenate(active, axis=1),
         ), kinds
 
+    def _resolve_contacts(self, state, ego, npc, hits, kinds, t_pos, t_heading,
+                          t_len, t_wid, frozen):
+        """Batched rigid contact response (replaces Bullet's solver,
+        engine_core.py:350-352): for every ego<->body overlap compute the SAT
+        minimum-translation vector, split it between the two dynamic bodies
+        (equal mass; objects/buildings are static -> ego takes the full
+        push), and remove each body's closing velocity component. Pedestrians
+        don't block the chassis (character bodies in the reference fork);
+        crash_human stays a flag."""
+        C = t_pos.shape[1]
+        depth, normal = collision.obb_obb_mtv(
+            ego.pos[:, None, :], ego.heading[:, None],
+            ego.params.length[:, None], ego.params.width[:, None],
+            t_pos, t_heading, t_len, t_wid,
+        )
+        depth = jnp.maximum(depth, 0.0)
+        # per-kind ego push fraction over the concatenated target axis
+        frac = np.zeros(C, np.float32)
+        frac[kinds["npc"]] = 0.5
+        frac[kinds["obj"]] = 1.0
+        frac[kinds["agents"]] = 0.5   # the other agent resolves its own half
+        frac = jnp.asarray(frac)
+        contact = hits & (frac > 0)
+
+        push = jnp.where(contact, depth * frac, 0.0)[..., None] * normal
+        push = push.sum(axis=1)
+        # cap a single-step correction (deep spawn overlaps shouldn't teleport)
+        mag = jnp.sqrt((push ** 2).sum(-1, keepdims=True))
+        push = push * jnp.minimum(1.0, 1.0 / jnp.maximum(mag, 1.0))
+        scale = collision.contact_speed_scale(
+            ego.speed, ego.heading + ego.vel_dir, normal, contact
+        )
+        if frozen is not None:
+            push = jnp.where(frozen[:, None], 0.0, push)
+            scale = jnp.where(frozen, 1.0, scale)
+        ego = ego.replace(pos=ego.pos + push, speed=ego.speed * scale)
+
+        # NPCs take the opposite half of their contact with the ego
+        sl = kinds["npc"]
+        n_hit, n_depth, n_normal = hits[:, sl], depth[:, sl], normal[:, sl]
+        n_push = jnp.where(n_hit, -0.5 * n_depth, 0.0)[..., None] * n_normal
+        n_scale = collision.contact_speed_scale(
+            npc.speed, npc.heading + npc.vel_dir,
+            -n_normal[:, :, None, :], n_hit[:, :, None],
+        )
+        npc = npc.replace(pos=npc.pos + n_push, speed=npc.speed * n_scale)
+        return ego, npc
+
     def _observe(self, state, ego_long, ego_lat):
         vc = self.config["vehicle_config"]
         lidar_cfg = vc["lidar"]
@@ -703,22 +755,9 @@ class BaseVectorEnv:
 
         # pedestrians / cyclists advance kinematically
         ped = participants.step_peds(scene, state.sidx, state.ped, dt * rep)
-        state = state.replace(ped=ped)
-
-        # localization + navigation update (after_step,
-        # base_vehicle.py:234-253)
-        loc = localization.localize(scene, state.sidx, ego.slot, ego.pos, ego.lane, ego.route_idx)
-        ego = ego.replace(lane=loc["lane"], route_idx=loc["route_idx"], on_lane=loc["on_lane"])
+        state = state.replace(ego=ego, npc=npc, ped=ped)
 
         # contact flags (_state_check, base_vehicle.py:700-792)
-        seg_flags = collision.vehicle_segment_flags(
-            ego.pos, ego.heading, ego.params.length, ego.params.width,
-            scene.seg_p0[state.sidx], scene.seg_p1[state.sidx],
-            scene.seg_type[state.sidx], scene.seg_halfwidth[state.sidx],
-            scene.seg_valid[state.sidx],
-            (SEG_YELLOW_LINE, SEG_WHITE_LINE, SEG_SIDEWALK),
-        )
-        state = state.replace(ego=ego, npc=npc)
         targets, kinds = self._lidar_targets(state)
         t_pos, t_heading, t_len, t_wid, t_active = targets
         hits = collision.obb_obb_overlap(
@@ -734,6 +773,31 @@ class BaseVectorEnv:
         crash_o = (obj_hits & ~is_building).any(axis=1)
         crash_b = (obj_hits & is_building).any(axis=1)
         crash_h = hits[:, kinds["ped"]].any(axis=1)
+
+        # rigid contact response: project the bodies apart and kill the
+        # closing velocity, the batched analog of Bullet's per-substep
+        # contact resolution (engine_core.py:350-352; base_vehicle.py's
+        # chassis collides with every other body). Without this the ego
+        # drives THROUGH vehicles wherever a crash is non-terminal
+        # (SafeMetaDriveEnv, MARL respawn).
+        if cfg["contact_response"]:
+            ego, npc = self._resolve_contacts(
+                state, ego, npc, hits, kinds, t_pos, t_heading, t_len, t_wid,
+                frozen,
+            )
+            state = state.replace(ego=ego, npc=npc)
+
+        # localization + navigation update (after_step,
+        # base_vehicle.py:234-253)
+        loc = localization.localize(scene, state.sidx, ego.slot, ego.pos, ego.lane, ego.route_idx)
+        ego = ego.replace(lane=loc["lane"], route_idx=loc["route_idx"], on_lane=loc["on_lane"])
+        seg_flags = collision.vehicle_segment_flags(
+            ego.pos, ego.heading, ego.params.length, ego.params.width,
+            scene.seg_p0[state.sidx], scene.seg_p1[state.sidx],
+            scene.seg_type[state.sidx], scene.seg_halfwidth[state.sidx],
+            scene.seg_valid[state.sidx],
+            (SEG_YELLOW_LINE, SEG_WHITE_LINE, SEG_SIDEWALK),
+        )
         left, right = localization.boundary_distances(scene, state.sidx, ego.slot, ego.route_idx, ego.pos)
         ego = ego.replace(
             on_yellow_line=seg_flags[SEG_YELLOW_LINE],

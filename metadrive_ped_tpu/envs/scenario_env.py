@@ -39,6 +39,13 @@ TRAJ_NAVI_POINT_DIST = 30.0
 
 NAVI_DIM = NUM_WAY_POINT * CKPT_DIM + 2  # = 22
 
+# TrajectoryIDMPolicy (idm_policy.py:426-430) + staggered act batches
+# (scenario_traffic_manager.py:27)
+TRAJ_NORMAL_SPEED = 40.0   # km/h
+IDM_MAX_DIST = 20.0        # m
+DEST_REGION_RADIUS = 2.0   # m
+IDM_ACT_BATCH_SIZE = 5
+
 
 class ScenarioEnv:
     @classmethod
@@ -63,6 +70,9 @@ class ScenarioEnv:
                 auto_reset=True,
                 decision_repeat=5,
                 physics_world_step_size=0.02,
+                # ego <-> replayed-track rigid contact resolution (see
+                # BaseVectorEnv.default_config docline)
+                contact_response=True,
                 vehicle_config=dict(
                     enable_reverse=False,
                     lidar=dict(num_lasers=120, distance=50.0),
@@ -409,16 +419,6 @@ class ScenarioEnv:
             state = self._step_npc_reactive(state, ego)
         state = state.replace(step_count=state.step_count + 1, ego=ego)
 
-        # trajectory localization
-        pts = scene.sdc_pts[state.sidx]
-        npts = scene.sdc_npts[state.sidx]
-        arcl = scene.sdc_arclen[state.sidx]
-        long, lat = polyline.local_coordinates(pts, npts, ego.pos, s=arcl)
-        traj_heading = polyline.heading_at(pts, npts, long, s=arcl)
-        total = polyline.total_length(pts, npts, s=arcl)
-        route_completion = long / jnp.maximum(total, 1e-3)
-        state = state.replace(last_long=state.cur_long, cur_long=long, cur_lat=lat)
-
         # contacts
         npc_pos, npc_heading, npc_active = self._npc_pose(state)
         hits = collision.obb_obb_overlap(
@@ -429,6 +429,39 @@ class ScenarioEnv:
         is_ped = scene.trk_kind[state.sidx] != 0
         crash_v = (hits & ~is_ped).any(axis=1)
         crash_h = (hits & is_ped).any(axis=1)
+
+        # rigid contact response, ego side only: replayed/reactive tracks are
+        # kinematic bodies (ReplayTrafficParticipantPolicy force-sets their
+        # pose, replay_policy.py:10-68), so the ego takes the full
+        # minimum-translation push and loses its closing velocity — the
+        # Bullet behavior when a dynamic chassis meets a kinematic body
+        # (engine_core.py:350-352). replay_ego force-sets the ego too.
+        if cfg["contact_response"] and not cfg["replay_ego"]:
+            depth, normal = collision.obb_obb_mtv(
+                ego.pos[:, None, :], ego.heading[:, None],
+                ego.params.length[:, None], ego.params.width[:, None],
+                npc_pos, npc_heading, scene.trk_len[state.sidx], scene.trk_wid[state.sidx],
+            )
+            contact = hits & ~is_ped
+            push = (jnp.where(contact, jnp.maximum(depth, 0.0), 0.0)[..., None]
+                    * normal).sum(axis=1)
+            mag = jnp.sqrt((push ** 2).sum(-1, keepdims=True))
+            push = push * jnp.minimum(1.0, 1.0 / jnp.maximum(mag, 1.0))
+            scale = collision.contact_speed_scale(
+                ego.speed, ego.heading + ego.vel_dir, normal, contact
+            )
+            ego = ego.replace(pos=ego.pos + push, speed=ego.speed * scale)
+            state = state.replace(ego=ego)
+
+        # trajectory localization
+        pts = scene.sdc_pts[state.sidx]
+        npts = scene.sdc_npts[state.sidx]
+        arcl = scene.sdc_arclen[state.sidx]
+        long, lat = polyline.local_coordinates(pts, npts, ego.pos, s=arcl)
+        traj_heading = polyline.heading_at(pts, npts, long, s=arcl)
+        total = polyline.total_length(pts, npts, s=arcl)
+        route_completion = long / jnp.maximum(total, 1e-3)
+        state = state.replace(last_long=state.cur_long, cur_long=long, cur_lat=lat)
         seg_flags = collision.vehicle_segment_flags(
             ego.pos, ego.heading, ego.params.length, ego.params.width,
             scene.seg_p0[state.sidx], scene.seg_p1[state.sidx],

@@ -31,6 +31,33 @@ def _line_seg_type(feature_type):
     return None  # broken lines / lane surfaces are not contact geometry
 
 
+# MetaDriveType.is_lane (metadrive/type.py:109-113)
+_LANE_TYPES = {
+    "LANE_SURFACE_STREET", "LANE_SURFACE_UNSTRUCTURE", "LANE_UNKNOWN",
+    "LANE_BIKE_LANE", "LANE_FREEWAY",
+}
+LANE_VIS_WIDTH = 6.0        # ScenarioLane.VIS_LANE_WIDTH (scenario_lane.py:23)
+LANE_RESAMPLE_M = 3.0       # centerline resample interval
+LANE_MAX_PTS = 48
+
+# TrajectoryIDM spawn eligibility (scenario_traffic_manager.py:30-32)
+IDM_CREATE_SIDE_CONSTRAINT = 15.0
+IDM_CREATE_FORWARD_CONSTRAINT = -1.0
+IDM_CREATE_MIN_LENGTH = 5.0
+
+
+def _resample(line, step=LANE_RESAMPLE_M, max_pts=LANE_MAX_PTS):
+    """Uniform arc-length resample (utils/math.py resample_polyline)."""
+    d = np.linalg.norm(np.diff(line, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(d)])
+    total = float(s[-1])
+    n = int(np.clip(total // step + 2, 2, max_pts))
+    ss = np.linspace(0.0, total, n)
+    return np.stack(
+        [np.interp(ss, s, line[:, 0]), np.interp(ss, s, line[:, 1])], axis=1
+    ).astype(np.float32)
+
+
 def compile_scenario(sd):
     """One ScenarioDescription dict -> flat numpy arrays."""
     T = int(sd[SD.LENGTH])
@@ -53,7 +80,10 @@ def compile_scenario(sd):
     first_valid = int(np.argmax(sdc_valid)) if sdc_valid.any() else 0
     sdc_heading0 = float(np.asarray(sdc_state[SD.HEADING], np.float32)[first_valid])
 
+    sdc_heading_all = np.asarray(sdc_state[SD.HEADING], np.float32)
+
     trk_pos, trk_heading, trk_valid, trk_len, trk_wid, trk_kind = [], [], [], [], [], []
+    trk_first_t, trk_reactive_ok = [], []
     for tid, tr in tracks.items():
         if tid == sdc_id:
             continue
@@ -74,12 +104,35 @@ def compile_scenario(sd):
                 return a[:T]
             return np.concatenate([a, np.full((T - a.shape[0],) + a.shape[1:], fill, a.dtype)])
 
+        first_t = int(np.argmax(valid))
+        # TrajectoryIDM spawn eligibility, evaluated against the RECORDED sdc
+        # pose at the track's first valid step (the reference evaluates
+        # against the live ego at spawn time, scenario_traffic_manager.py:
+        # 217-235; at spawn the RL ego is at/near the recorded pose)
+        vpts = pos[valid]
+        route_len = float(np.linalg.norm(vpts[0] - vpts[-1]))
+        si = min(first_t, len(sdc_xy) - 1)
+        sh = float(sdc_heading_all[si]) if len(sdc_heading_all) else 0.0
+        rel = pos[first_t] - sdc_xy[si]
+        fwd = rel[0] * math.cos(sh) + rel[1] * math.sin(sh)
+        side = -rel[0] * math.sin(sh) + rel[1] * math.cos(sh)
+        hdiff = (heading[first_t] - sh + math.pi) % (2 * math.pi) - math.pi
+        reactive_ok = (
+            kind == TRK_VEHICLE
+            and route_len > IDM_CREATE_MIN_LENGTH
+            and fwd < IDM_CREATE_FORWARD_CONSTRAINT
+            and abs(side) < IDM_CREATE_SIDE_CONSTRAINT
+            and abs(hdiff) < math.pi / 2
+        )
+
         trk_pos.append(pad_t(pos))
         trk_heading.append(pad_t(heading))
         trk_valid.append(pad_t(valid, False))
         trk_len.append(length)
         trk_wid.append(width)
         trk_kind.append(kind)
+        trk_first_t.append(first_t)
+        trk_reactive_ok.append(reactive_ok)
     TRK = len(trk_pos)
 
     # traffic lights (dynamic_map_states; reference:
@@ -100,8 +153,18 @@ def compile_scenario(sd):
     LG = len(light_pos)
 
     seg_p0, seg_p1, seg_type = [], [], []
+    lane_pts, lane_width = [], []
     for fid, feat in (sd.get(SD.MAP_FEATURES) or {}).items():
-        styp = _line_seg_type(feat.get("type", ""))
+        ftype = str(feat.get("type", "")).upper()
+        if ftype in _LANE_TYPES:
+            # lane centerline -> resampled PointLane (ScenarioBlock builds a
+            # ScenarioLane per lane feature, scenario_block.py:25-31)
+            line = np.asarray(feat.get("polyline", []), np.float32)
+            if line.ndim == 2 and len(line) >= 2:
+                lane_pts.append(_resample(line[:, :2]))
+                lane_width.append(float(feat.get("width", LANE_VIS_WIDTH)))
+            continue
+        styp = _line_seg_type(ftype)
         if styp is None:
             continue
         line = np.asarray(
@@ -115,6 +178,14 @@ def compile_scenario(sd):
             seg_p1.append(b)
             seg_type.append(styp)
     B = len(seg_p0)
+    LN = len(lane_pts)
+    LP = max([len(p) for p in lane_pts], default=2)
+    lane_arr = np.zeros((LN, LP, 2), np.float32)
+    lane_npts = np.zeros(LN, np.int32)
+    for i, p in enumerate(lane_pts):
+        lane_arr[i, : len(p)] = p
+        lane_arr[i, len(p):] = p[-1]  # pad by repeating the endpoint
+        lane_npts[i] = len(p)
 
     def pad_t_sdc(a, fill=0):
         if a.shape[0] >= T:
@@ -131,7 +202,12 @@ def compile_scenario(sd):
         trk_valid=np.asarray(trk_valid, bool).reshape(TRK, T),
         trk_len=np.asarray(trk_len, np.float32), trk_wid=np.asarray(trk_wid, np.float32),
         trk_kind=np.asarray(trk_kind, np.int32),
+        trk_first_t=np.asarray(trk_first_t, np.int32).reshape(TRK),
+        trk_reactive_ok=np.asarray(trk_reactive_ok, bool).reshape(TRK),
         scenario_len=np.int32(T),
+        lane_pts=lane_arr, lane_npts=lane_npts,
+        lane_width=np.asarray(lane_width, np.float32).reshape(LN),
+        lane_valid=np.ones(LN, bool),
         seg_p0=np.asarray(seg_p0, np.float32).reshape(B, 2),
         seg_p1=np.asarray(seg_p1, np.float32).reshape(B, 2),
         seg_type=np.asarray(seg_type, np.int32),
@@ -179,4 +255,5 @@ def build_scenario_pack(sds):
     pack["trk_npts"] = trk_npts
     pack["trk_arclen"] = np_arc(pack["trk_pos"], trk_npts)
     pack["sdc_arclen"] = np_arc(pack["sdc_pts"], pack["sdc_npts"])
+    pack["lane_arclen"] = np_arc(pack["lane_pts"], pack["lane_npts"])
     return pack

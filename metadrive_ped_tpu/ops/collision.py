@@ -86,3 +86,61 @@ def ego_npc_crash(ego_pos, ego_heading, ego_len, ego_wid,
         npc_pos, npc_heading, npc_len, npc_wid,
     )
     return (hit & npc_active).any(axis=1)
+
+
+def obb_obb_mtv(c1, h1, len1, wid1, c2, h2, len2, wid2):
+    """Minimum-translation vector separating OBB1 from OBB2 (2D SAT).
+
+    Returns (depth, normal): depth [...] is the overlap along the least-
+    penetrating of the 4 face axes (<= 0 means no overlap); normal [..., 2]
+    is the unit direction that moves OBB1 out of OBB2. This is the
+    penetration data Bullet's contact solver produces per manifold point
+    (reference: engine_core.py:350-352 doPhysics resolves these each
+    substep); here it feeds the batched positional projection in
+    `resolve_speed_on_contacts` / the envs' contact-response stage.
+    """
+    d = c1 - c2
+    ax1 = jnp.stack([jnp.cos(h1), jnp.sin(h1)], axis=-1)
+    ay1 = jnp.stack([-jnp.sin(h1), jnp.cos(h1)], axis=-1)
+    ax2 = jnp.stack([jnp.cos(h2), jnp.sin(h2)], axis=-1)
+    ay2 = jnp.stack([-jnp.sin(h2), jnp.cos(h2)], axis=-1)
+    ax1, ay1, ax2, ay2 = jnp.broadcast_arrays(ax1, ay1, ax2, ay2)
+    axes = jnp.stack([ax1, ay1, ax2, ay2], axis=-2)            # [...,4,2]
+
+    def proj_radius(u, ax, ay, half_l, half_w):
+        return (
+            half_l[..., None] * jnp.abs((u * ax[..., None, :]).sum(-1))
+            + half_w[..., None] * jnp.abs((u * ay[..., None, :]).sum(-1))
+        )
+
+    r1 = proj_radius(axes, ax1, ay1, len1 / 2, wid1 / 2)        # [...,4]
+    r2 = proj_radius(axes, ax2, ay2, len2 / 2, wid2 / 2)
+    sep = (axes * d[..., None, :]).sum(-1)                      # [...,4]
+    depth4 = r1 + r2 - jnp.abs(sep)
+    depth = depth4.min(axis=-1)
+    # first-tie one-hot min select (no argmin/take_along_axis on TPU)
+    oh = (depth4 == depth[..., None])
+    oh = (oh & (jnp.cumsum(oh, axis=-1) == 1)).astype(depth4.dtype)
+    normal = (oh[..., None] * axes * jnp.sign(sep)[..., None]).sum(-2)
+    # degenerate exactly-coincident centers: push along OBB2's x axis
+    normal = jnp.where(
+        jnp.abs(normal).sum(-1, keepdims=True) < 1e-6,
+        ax2 * jnp.ones_like(depth)[..., None], normal,
+    )
+    return depth, normal
+
+
+def contact_speed_scale(speed, move_dir, normal, contact):
+    """Closing-velocity kill for the scalar-speed bicycle state.
+
+    The body's velocity is speed * u(move_dir); a rigid contact removes the
+    component driving into the surface (normal points AWAY from the other
+    body). Returns the scale factor in [0, 1] to apply to `speed`, the
+    scalar analog of Bullet zeroing the relative normal velocity.
+    contact [... ,C] masks live contacts; normal [...,C,2].
+    """
+    u = jnp.stack([jnp.cos(move_dir), jnp.sin(move_dir)], axis=-1)
+    un = (u[..., None, :] * normal).sum(-1)                     # [...,C]
+    closing = contact & (speed[..., None] * un < 0)
+    drop = jnp.where(closing, un * un, 0.0).sum(-1)
+    return jnp.clip(1.0 - drop, 0.0, 1.0)
