@@ -63,6 +63,11 @@ class ScenarioEnv:
                 num_workers=1,
                 no_traffic=False,
                 reactive_traffic=False,
+                # localize the ego against the compiled map-feature lane
+                # network (ScenarioMap/ScenarioLane, scenario_env.py:38
+                # need_lane_localization); strict out-of-road then requires
+                # lane membership
+                need_lane_localization=True,
                 replay_ego=False,  # ReplayEgoCarPolicy (policy/replay_policy.py:70)
                 even_sample_vehicle_class=True,
                 horizon=None,
@@ -121,7 +126,9 @@ class ScenarioEnv:
         if cfg["num_scenarios"]:
             sds = sds[: cfg["num_scenarios"]]
         self.num_scenarios = len(sds)
-        self.scene = ScenarioScene.from_pack(build_scenario_pack(sds))
+        pack = build_scenario_pack(sds)
+        self._has_lanes = bool(np.any(pack["lane_valid"]))
+        self.scene = ScenarioScene.from_pack(pack)
         self.num_envs = cfg["num_envs"]
         self._state = None
         self._step_jit = jax.jit(self._step_impl, donate_argnums=0)
@@ -215,6 +222,7 @@ class ScenarioEnv:
             episode_reward=zeros, episode_cost=zeros, ego=ego,
             last_long=zeros, cur_long=zeros, cur_lat=zeros,
             npc_long=jnp.zeros((E, TRK)), npc_speed=jnp.zeros((E, TRK)),
+            npc_acc=jnp.zeros((E, TRK)), npc_dead=jnp.zeros((E, TRK), bool),
         )
 
     def _reset_impl(self, rng):
@@ -245,58 +253,122 @@ class ScenarioEnv:
         active = jnp.einsum("et,ekt->ek", oh_t, trk_valid.astype(jnp.float32)) > 0.5
 
         if self.config["reactive_traffic"]:
-            # TrajectoryIDM-style: vehicles follow their recorded path with
-            # IDM speed control against the body ahead (idm_policy.py:426-493)
+            # TrajectoryIDM vehicles follow their recorded route with IDM
+            # speed control (idm_policy.py:426-493). Eligibility was
+            # precomputed per track (route > 5 m, spawned behind the ego —
+            # scenario_traffic_manager.py:217-235); everything else replays.
             npts = scene.trk_npts[sidx]
             arcl = scene.trk_arclen[sidx]
             path = trk_pos  # [E,TRK,T,2] as polyline per track
             p_pos = polyline.position(path, npts, state.npc_long, s=arcl)
             p_heading = polyline.heading_at(path, npts, state.npc_long, s=arcl)
-            # replace vehicle tracks by reactive pose; peds stay replayed
-            is_vehicle = scene.trk_kind[sidx] == 0
-            pos = jnp.where(is_vehicle[..., None], p_pos, pos)
-            heading = jnp.where(is_vehicle, p_heading, heading)
-            started = state.step_count[:, None] > 0
-            active = active | (is_vehicle & started & (npts > 1))
+            reactive = scene.trk_reactive_ok[sidx]
+            pos = jnp.where(reactive[..., None], p_pos, pos)
+            heading = jnp.where(reactive, p_heading, heading)
+            # reactive cars spawn at their recorded first-valid step and
+            # despawn at arrive_destination (npc_dead)
+            spawned = state.step_count[:, None] >= scene.trk_first_t[sidx]
+            active = jnp.where(
+                reactive, spawned & ~state.npc_dead & (npts > 1), active
+            )
         return pos, heading, active
 
     def _step_npc_reactive(self, state, ego):
-        """Advance reactive-traffic arc positions with IDM speed control."""
+        """TrajectoryIDMPolicy speed control along each track's recorded
+        PointLane (idm_policy.py:426-493 + scenario_traffic_manager.py:67-76):
+
+        - front-gap search measured along the route's ARC LENGTH over a 20 m
+          probe chain (get_find_front_back_objs_single_lane restricted to
+          IDM_MAX_DIST — bodies near the lane, smallest positive relative
+          longitude), not a heading cone;
+        - staggered act batches: track k refreshes its IDM acceleration only
+          on steps where step % IDM_ACT_BATCH_SIZE == k % IDM_ACT_BATCH_SIZE
+          and replays the committed value otherwise (before_step reuses
+          last_action, scenario_traffic_manager.py:75);
+        - arrive_destination: a car within DEST_REGION_RADIUS of its route
+          end is cleaned (idm_policy.py:449-455 + manager before_step).
+        """
+        from metadrive_ped_tpu.constants import BICYCLE_REF_ACCEL
         from metadrive_ped_tpu.ops.idm import idm_acceleration
         scene, sidx = self.scene, state.sidx
         npts = scene.trk_npts[sidx]
         arcl = scene.trk_arclen[sidx]
         path = scene.trk_pos[sidx]
-        pos = polyline.position(path, npts, state.npc_long, s=arcl)
-        heading = polyline.heading_at(path, npts, state.npc_long, s=arcl)
-        # front gap: nearest other body roughly ahead along heading
-        cand = jnp.concatenate([pos, ego.pos[:, None]], axis=1)
+        E, TRK = state.npc_long.shape
+        total = polyline.total_length(path, npts, s=arcl)
+
+        # candidates at their ACTUAL current pose (replay or reactive)
+        cand_pos, _, cand_active = self._npc_pose(state)
+        cand = jnp.concatenate([cand_pos, ego.pos[:, None]], axis=1)      # [E,C,2]
+        cand_active = jnp.concatenate(
+            [cand_active, jnp.ones((E, 1), bool)], axis=1
+        )
         cand_speed = jnp.concatenate([state.npc_speed, ego.speed[:, None]], axis=1)
-        delta = cand[:, None, :, :] - pos[:, :, None, :]
-        hv = jnp.stack([jnp.cos(heading), jnp.sin(heading)], axis=-1)
-        ahead = (delta * hv[:, :, None, :]).sum(-1)
-        lateral = jnp.abs(delta[..., 0] * hv[:, :, None, 1] - delta[..., 1] * hv[:, :, None, 0])
-        TRK = pos.shape[1]
+        cand_wid = jnp.concatenate(
+            [scene.trk_wid[sidx], ego.params.width[:, None]], axis=1
+        )
+
+        # 20 m probe chain along my own arc (5 points / 4 chords)
+        offs = jnp.arange(5.0) * (IDM_MAX_DIST / 4.0)
+        probe_long = jnp.minimum(state.npc_long[..., None] + offs, total[..., None])
+        probe = polyline.position(
+            path[:, :, None], npts[:, :, None], probe_long, s=arcl[:, :, None]
+        )                                                                  # [E,TRK,5,2]
+        a = probe[..., :-1, :]
+        seg = probe[..., 1:, :] - a
+        seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))        # [E,TRK,4]
+        arc0 = (probe_long - state.npc_long[..., None])[..., :-1]         # [E,TRK,4]
+
+        rel = cand[:, None, :, None, :] - a[:, :, None, :, :]             # [E,TRK,C,4,2]
+        t = jnp.clip(
+            (rel * seg[:, :, None]).sum(-1)
+            / jnp.maximum((seg_len ** 2)[:, :, None], 1e-9), 0.0, 1.0,
+        )
+        proj = a[:, :, None] + t[..., None] * seg[:, :, None]
+        dist_lat = jnp.sqrt(((cand[:, None, :, None, :] - proj) ** 2).sum(-1))
+        long_c = arc0[:, :, None, :] + t * seg_len[:, :, None, :]         # [E,TRK,C,4]
+        # on-route test ~ PointLane(width=2).point_on_lane of the candidate
+        # bounding box (idm_policy.py:160-167): centre within half the lane
+        # width plus the body's half width
+        on_route = dist_lat < (1.0 + cand_wid[:, None, :, None] / 2)
         not_self = ~jnp.eye(TRK, TRK + 1, dtype=bool)[None]
-        valid = (ahead > 0.5) & (lateral < 2.0) & not_self
-        gap = jnp.where(valid, ahead, jnp.inf)
-        # min-reduce + first-tie one-hot select instead of argmin +
-        # take_along_axis (TPU scalar-gather slow path)
-        front_dist = gap.min(axis=2)                                    # [E,TRK]
+        valid = (
+            on_route & cand_active[:, None, :, None]
+            & not_self[..., None] & (long_c > 0.1)
+        )
+        fgap = jnp.where(valid, long_c, jnp.inf).reshape(E, TRK, -1)
+        front_dist = fgap.min(axis=2)                                      # [E,TRK]
         has_front = jnp.isfinite(front_dist)
-        oh = (gap == front_dist[..., None]) & has_front[..., None]
+        oh = (fgap == front_dist[..., None]) & has_front[..., None]
         oh = (oh & (jnp.cumsum(oh, axis=2) == 1)).astype(jnp.float32)
-        front_speed = jnp.einsum("ekc,ec->ek", oh, cand_speed)
-        acc = idm_acceleration(
+        sp = jnp.broadcast_to(cand_speed[:, None, :, None], fgap.shape[:2] + (TRK + 1, 4))
+        front_speed = (oh * sp.reshape(E, TRK, -1)).sum(axis=2)
+
+        acc_new = idm_acceleration(
             state.npc_speed * 3.6, front_speed * 3.6,
             jnp.where(has_front, front_dist, 1e6), has_front,
+            target_speed_kmh=TRAJ_NORMAL_SPEED,
         )
+        # staggered act batches: refresh only on my batch step
+        fresh = (state.step_count[:, None] % IDM_ACT_BATCH_SIZE) == (
+            jnp.arange(TRK)[None] % IDM_ACT_BATCH_SIZE
+        )
+        acc = jnp.where(fresh, acc_new, state.npc_acc)
+
+        # acceleration -> speed exactly like a throttle on the bicycle model
+        # (before_step clips the action; full throttle = BICYCLE_REF_ACCEL)
         dt = self.config["physics_world_step_size"] * self.config["decision_repeat"]
-        speed = jnp.clip(state.npc_speed + acc * 3.0 * dt, 0.0, 16.7)
-        long = state.npc_long + speed * dt
-        total = polyline.total_length(path, npts, s=arcl)
-        long = jnp.minimum(long, total)
-        return state.replace(npc_long=long, npc_speed=speed)
+        speed = jnp.clip(
+            state.npc_speed + jnp.clip(acc, -1.0, 1.0) * BICYCLE_REF_ACCEL * dt,
+            0.0, 80.0 / 3.6,
+        )
+        long = jnp.minimum(state.npc_long + speed * dt, total)
+        new_pos = polyline.position(path, npts, long, s=arcl)
+        end = polyline.position(path, npts, total, s=arcl)
+        dead = state.npc_dead | (
+            jnp.sqrt(((new_pos - end) ** 2).sum(-1)) < DEST_REGION_RADIUS
+        )
+        return state.replace(npc_long=long, npc_speed=speed, npc_acc=acc, npc_dead=dead)
 
     def _observe(self, state, cached=None):
         """cached = (long, lat, traj_heading, npc_pose) computed by
@@ -483,11 +555,33 @@ class ScenarioEnv:
         on_red = (near & (lstat == 3)).any(axis=1)
         on_yellow_light = (near & (lstat == 2)).any(axis=1)
 
+        # lane-network localization (need_lane_localization; the reference
+        # builds ScenarioLanes from map_features and ray-localizes the ego
+        # against them — scenario_map.py:9, edge_network_navigation.py:159):
+        # on_lane = the ego centre sits inside some map lane's band
+        on_lane = jnp.ones(E, bool)
+        use_lanes = self._has_lanes and cfg["need_lane_localization"]
+        if use_lanes:
+            lpts = scene.lane_pts[state.sidx]
+            lnpts = scene.lane_npts[state.sidx]
+            larc = scene.lane_arclen[state.sidx]
+            l_long, l_lat = polyline.local_coordinates(
+                lpts, lnpts, ego.pos[:, None, :], s=larc
+            )                                                     # [E,LN]
+            l_total = polyline.total_length(lpts, lnpts, s=larc)
+            inside = (
+                (jnp.abs(l_lat) <= scene.lane_width[state.sidx] / 2)
+                & (l_long >= -0.5) & (l_long <= l_total + 0.5)
+                & scene.lane_valid[state.sidx]
+            )
+            on_lane = inside.any(axis=1)
+
         ego = ego.replace(
             crash_vehicle=crash_v, crash_human=crash_h,
             on_yellow_line=seg_flags[SEG_YELLOW_LINE],
             on_white_line=seg_flags[SEG_WHITE_LINE],
             crash_sidewalk=seg_flags[SEG_SIDEWALK],
+            on_lane=on_lane,
         )
         state = state.replace(ego=ego)
 
@@ -497,6 +591,10 @@ class ScenarioEnv:
             out_of_road = jnp.abs(lat) > cfg["max_lateral_dist"]
         else:
             out_of_road = ego.crash_sidewalk | ego.on_yellow_line | ego.on_white_line
+            if use_lanes:
+                # leaving every map lane is out-of-road (lane membership,
+                # VERDICT r1 item 4; supersedes the lateral-band proxy)
+                out_of_road = out_of_road | ~on_lane
         out_of_road = out_of_road | (route_completion < -0.1)
         terminated = arrive | out_of_road
         if cfg["crash_vehicle_done"]:

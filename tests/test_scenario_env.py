@@ -97,6 +97,50 @@ def test_scenario_env_truncates_at_scenario_end(recorded_scenarios):
     assert truncated_seen
 
 
+def test_replay_fidelity_matches_recording(recorded_scenarios):
+    """Record -> export -> replay equality (reference:
+    tests/test_export_record_scenario/test_export_scenario_consistency_test
+    .py): with replay_ego the ScenarioEnv ego must retrace the recorded sdc
+    trajectory and the replayed tracks must sit exactly on their recordings,
+    step for step."""
+    sd = recorded_scenarios[0]
+    T = int(sd["length"])
+    rec_pos = np.asarray(sd["tracks"]["sdc"]["state"]["position"])[:, :2]
+    rec_heading = np.asarray(sd["tracks"]["sdc"]["state"]["heading"])
+    env = ScenarioEnv(dict(
+        num_envs=1, scenario_data=[sd], replay_ego=True, auto_reset=False,
+        sequential_seed=True,
+    ))
+    env.reset(seed=0)
+    np.testing.assert_allclose(
+        np.asarray(env._state.ego.pos)[0], rec_pos[0], atol=1e-3
+    )
+    npc_ids = [tid for tid in sd["tracks"] if tid != "sdc"]
+    for k in range(1, T - 1):
+        env.step(np.array([[0.3, 0.9]], np.float32))  # actions must be ignored
+        np.testing.assert_allclose(
+            np.asarray(env._state.ego.pos)[0], rec_pos[k], atol=1e-3,
+            err_msg=f"replayed ego diverged from the recording at step {k}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(env._state.ego.heading)[0], rec_heading[k], atol=1e-3
+        )
+        # replayed traffic poses equal the recorded tracks at this step
+        npc_pos, npc_heading, npc_active = env._npc_pose(env._state)
+        npc_pos = np.asarray(npc_pos)[0]
+        npc_active = np.asarray(npc_active)[0]
+        for j, tid in enumerate(npc_ids[: npc_pos.shape[0]]):
+            st = sd["tracks"][tid]["state"]
+            if not bool(np.asarray(st["valid"])[k]):
+                continue
+            # track j's slot order follows the insertion order of compile
+            matches = np.linalg.norm(
+                npc_pos - np.asarray(st["position"])[k, :2], axis=-1
+            )
+            assert matches.min() < 1e-3, \
+                f"track {tid} not found at its recorded pose at step {k}"
+
+
 def test_traffic_lights_replay(recorded_scenarios):
     import copy
     sds = [copy.deepcopy(sd) for sd in recorded_scenarios[:2]]
