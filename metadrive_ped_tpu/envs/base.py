@@ -84,6 +84,10 @@ class BaseVectorEnv:
                 # load_all_maps parity, pg_map_manager.py:92-133): skip map
                 # generation and load the pkl written by env.dump_all_maps
                 map_pack_file=None,
+                # per-seed lane width/count variation
+                # (PGMapManager.add_random_to_map, pg_map_manager.py:66-74)
+                random_lane_width=False,
+                random_lane_num=False,
                 traffic_density=0.1,
                 traffic_mode="trigger",  # "trigger" | "respawn" | "hybrid" (traffic_manager.py:20-29)
                 # MixedPGTrafficManager: fraction of NPCs driven by the PPO
@@ -204,6 +208,8 @@ class BaseVectorEnv:
                     include_broken_line_segs=(
                         cfg["vehicle_config"]["lane_line_detector"]["num_lasers"] > 0
                     ),
+                    random_lane_width=cfg["random_lane_width"],
+                    random_lane_num=cfg["random_lane_num"],
                     map_config=map_cfg,
                     traffic_density=cfg["traffic_density"],
                     accident_prob=cfg["accident_prob"],
@@ -219,6 +225,10 @@ class BaseVectorEnv:
             self._npc_expert_params = load_expert_params()
         self.scene = Scene.from_pack(pack)
         self._pack = pack  # host-side arrays (texture baking, debugging)
+        # live scenario band: episode sampling draws from
+        # [0, num_scenarios); CurriculumWrapper narrows it then re-jits
+        # (ScenarioCurriculumManager semantics for PG seeds)
+        self.num_scenarios = int(self.scene.num_scenarios)
         self.num_envs = cfg["num_envs"]
         self._state = None
         self._step_jit = jax.jit(functools.partial(self._step_impl), donate_argnums=0)
@@ -373,7 +383,7 @@ class BaseVectorEnv:
         if actions is None and policy_fn is None:
             actions = jnp.zeros((self.num_envs, 2), jnp.float32)
 
-        key = (id(policy_fn), tuple(collect), n_steps)
+        key = (id(policy_fn), tuple(collect), n_steps, self.num_scenarios)
         if getattr(self, "_rollout_cache_key", None) != key:
             def run(state, obs0, fixed_actions):
                 def body(carry, _):
@@ -556,7 +566,7 @@ class BaseVectorEnv:
         env_rng = keys[1:]
         # scenario assignment: uniform over [0, num_scenarios)
         # (reference _reset_global_seed, base_env.py:886-891)
-        sidx = jax.random.randint(keys[0], (E,), 0, self.scene.num_scenarios)
+        sidx = jax.random.randint(keys[0], (E,), 0, self.num_scenarios)
         state = self._spawn(env_rng, sidx)
         obs = self._observe(state, self.scene.slot_long[sidx, state.ego.slot], jnp.zeros(E))
         info = dict(env_seed=sidx + self.config["start_seed"])
@@ -883,7 +893,7 @@ class BaseVectorEnv:
             new_keys = jax.vmap(jax.random.split)(state.rng)      # [E,2,2]
             step_rng, reset_rng = new_keys[:, 0], new_keys[:, 1]
             new_sidx = jax.vmap(
-                lambda k: jax.random.randint(k, (), 0, self.scene.num_scenarios)
+                lambda k: jax.random.randint(k, (), 0, self.num_scenarios)
             )(step_rng)
             fresh = self._spawn(reset_rng, new_sidx)
             state = jax.tree_util.tree_map(

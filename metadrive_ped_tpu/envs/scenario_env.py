@@ -163,7 +163,7 @@ class ScenarioEnv:
         if actions is None and policy_fn is None:
             actions = jnp.zeros((self.num_envs, 2), jnp.float32)
 
-        key = (id(policy_fn), tuple(collect), n_steps)
+        key = (id(policy_fn), tuple(collect), n_steps, self.num_scenarios)
         if getattr(self, "_rollout_cache_key", None) != key:
             def run(state, obs0, fixed_actions):
                 def body(carry, _):

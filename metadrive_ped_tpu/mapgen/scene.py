@@ -79,6 +79,19 @@ def _polyline_segments(points):
 def compile_scene(seed, config):
     """Compile one scenario seed into a dict of flat numpy arrays."""
     map_config = config.get("map_config", {})
+    if config.get("random_lane_width") or config.get("random_lane_num"):
+        # PGMapManager.add_random_to_map (pg_map_manager.py:66-74): per-seed
+        # lane width in [MIN_LANE_WIDTH, MAX_LANE_WIDTH]=[3.0, 4.5], lane
+        # count in [MIN_LANE_NUM, MAX_LANE_NUM]=[2, 3] (base_map.py:38-41).
+        # Draws come from a per-seed gym-hash RandomState rather than the
+        # manager's sequential stream (maps compile in parallel here).
+        from metadrive_ped_tpu.mapgen.ref_random import ref_rng
+        rng = ref_rng(seed)
+        map_config = dict(map_config)
+        if config.get("random_lane_width"):
+            map_config["lane_width"] = float(rng.rand() * (4.5 - 3.0) + 3.0)
+        if config.get("random_lane_num"):
+            map_config["lane_num"] = int(rng.randint(2, 4))
     network, blocks = generate_map(seed, map_config)
 
     # ---- enumerate lanes/roads (contiguous lane ids per road) ------------
