@@ -44,6 +44,8 @@ class Scene:
     light_lane: jnp.ndarray    # [S, LT]
     light_long: jnp.ndarray    # [S, LT]
     light_pos: jnp.ndarray     # [S, LT, 2]
+    light_heading: jnp.ndarray  # [S, LT] lane heading at the stop line
+    light_width: jnp.ndarray    # [S, LT] lane width = air-wall span
     light_offset: jnp.ndarray  # [S, LT] phase offset in steps
     light_valid: jnp.ndarray   # [S, LT]
     slot_lane: jnp.ndarray     # [S, SLOT] spawn lane id

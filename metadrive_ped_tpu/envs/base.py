@@ -77,6 +77,12 @@ class BaseVectorEnv:
                 num_envs=16,
                 start_seed=0,
                 num_scenarios=1,
+                # per-process scenario striding for multi-host data parallel
+                # (ScenarioDataManager worker split, scenario_data_manager
+                # .py:26-32, applied to PG seeds): host w of W compiles and
+                # samples seeds start_seed+w, start_seed+w+W, ...
+                worker_index=0,
+                num_workers=1,
                 map=3,  # int block count or block-ID string (pg_map.py:17-36)
                 map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0,
                                 xodr_file=None),  # OpenDrive ingest (mapgen/opendrive.py)
@@ -193,6 +199,10 @@ class BaseVectorEnv:
             from metadrive_ped_tpu.policies.manual import make_controller
             self._manual_controller = make_controller(cfg["controller"])
         seeds = list(range(cfg["start_seed"], cfg["start_seed"] + cfg["num_scenarios"]))
+        if cfg["num_workers"] > 1:
+            seeds = seeds[cfg["worker_index"]::cfg["num_workers"]]
+            assert seeds, "num_scenarios leaves this worker without seeds"
+        self._seeds = np.asarray(seeds, np.int32)
         map_cfg = dict(cfg["map_config"])
         map_cfg["config"] = cfg["map"]
         if cfg["map_pack_file"]:
@@ -560,6 +570,14 @@ class BaseVectorEnv:
             wheelbase_eff=base.wheelbase_eff * jnp.clip(0.9 / fric, 0.5, 2.0),
         )
 
+    def _seed_of(self, sidx):
+        """Local scenario index -> global seed (identity + offset without
+        striding; one-hot table lookup when this worker holds a stride)."""
+        if self.config["num_workers"] <= 1:
+            return sidx + self.config["start_seed"]
+        from metadrive_ped_tpu.ops.gather import vector_lookup
+        return vector_lookup(jnp.asarray(self._seeds), sidx)
+
     def _reset_impl(self, rng):
         E = self.num_envs
         keys = jax.random.split(rng, E + 1)
@@ -569,7 +587,7 @@ class BaseVectorEnv:
         sidx = jax.random.randint(keys[0], (E,), 0, self.num_scenarios)
         state = self._spawn(env_rng, sidx)
         obs = self._observe(state, self.scene.slot_long[sidx, state.ego.slot], jnp.zeros(E))
-        info = dict(env_seed=sidx + self.config["start_seed"])
+        info = dict(env_seed=self._seed_of(sidx))
         return state, obs, info
 
     def _extra_vehicle_targets(self, state):
@@ -740,6 +758,25 @@ class BaseVectorEnv:
             vel_dir = keep2(vel_dir, ego.vel_dir)
         ego = ego.replace(pos=pos, heading=heading, speed=speed, vel_dir=vel_dir)
 
+        # PG traffic-light phases (opt-in): green -> yellow -> red per arm,
+        # opposite arms antiphased (mapgen/scene.py light_offset). Computed
+        # before the NPC step so red lights gate IDM traffic too.
+        light_ctx = None
+        if scene.light_lane.shape[1] > 0 and cfg["pg_traffic_lights"]:
+            lcfg = cfg["pg_traffic_lights"]
+            g_dur = int(lcfg.get("green", 30)) if isinstance(lcfg, dict) else 30
+            y_dur = int(lcfg.get("yellow", 4)) if isinstance(lcfg, dict) else 4
+            half = g_dur + y_dur
+            phase = (state.step_count[:, None] + scene.light_offset[state.sidx]) % (2 * half)
+            status = jnp.where(phase < g_dur, 0, jnp.where(phase < half, 1, 2))  # g/y/r
+            light_ctx = dict(
+                status=status, valid=scene.light_valid[state.sidx],
+                lane=scene.light_lane[state.sidx], long=scene.light_long[state.sidx],
+                pos=scene.light_pos[state.sidx],
+                heading=scene.light_heading[state.sidx],
+                width=scene.light_width[state.sidx],
+            )
+
         # NPC traffic: release by trigger road, IDM actuation, dynamics
         npc = state.npc
         cur_road = localization.route_road_at(scene, state.sidx, ego.slot, ego.route_idx)
@@ -757,10 +794,19 @@ class BaseVectorEnv:
                 distance=cfg["vehicle_config"]["lidar"]["distance"],
             )
             expert_mask = scene.npc_expert[state.sidx]
+        light_block = None
+        if light_ctx is not None:
+            # red lights hold IDM NPCs at the stop line (the air wall is a
+            # physical body in the reference, base_traffic_light.py:45-51)
+            light_block = (
+                light_ctx["lane"], light_ctx["long"],
+                light_ctx["valid"] & (light_ctx["status"] == 2),
+            )
         npc = idm.step_npcs(
             scene, state.sidx, npc, ego, dt=dt, substeps=rep,
             respawn_mode=cfg["traffic_mode"] in ("respawn", "hybrid"),
             expert_actions=expert_actions, expert_mask=expert_mask,
+            light_block=light_block,
         )
 
         # pedestrians / cyclists advance kinematically
@@ -861,7 +907,7 @@ class BaseVectorEnv:
             velocity=ego.speed, steering=ego.steering, acceleration=ego.throttle,
             step_energy=step_energy, episode_energy=episode_energy,
             episode_reward=episode_reward, episode_length=step_count,
-            env_seed=state.sidx + cfg["start_seed"],
+            env_seed=self._seed_of(state.sidx),
         )
         info.update({k: v for k, v in step_info.items() if k != "step_reward"})
         info.update(done_info)
@@ -869,22 +915,21 @@ class BaseVectorEnv:
         if takeover_info is not None:
             info.update(takeover_info)
 
-        # traffic-light proximity flags (BaseTrafficLight contact detection,
-        # base_vehicle.py:720-733; scenario env uses the same 4 m rule)
-        if scene.light_lane.shape[1] > 0 and cfg["pg_traffic_lights"]:
-            lcfg = cfg["pg_traffic_lights"]
-            g_dur = int(lcfg.get("green", 30)) if isinstance(lcfg, dict) else 30
-            y_dur = int(lcfg.get("yellow", 4)) if isinstance(lcfg, dict) else 4
-            half = g_dur + y_dur
-            phase = (state.step_count[:, None] + scene.light_offset[state.sidx]) % (2 * half)
-            status = jnp.where(phase < g_dur, 0, jnp.where(phase < half, 1, 2))  # g/y/r
-            lpos = scene.light_pos[state.sidx]
-            near = (
-                jnp.sqrt(((lpos - ego.pos[:, None, :]) ** 2).sum(-1)) < 4.0
-            ) & scene.light_valid[state.sidx]
-            info["on_green_light"] = (near & (status == 0)).any(axis=1)
-            info["on_yellow_light"] = (near & (status == 1)).any(axis=1)
-            info["on_red_light"] = (near & (status == 2)).any(axis=1)
+        # traffic-light contact flags: the ego OBB against each light's
+        # air-wall stop region — a 0.25 m x lane-width box across the lane
+        # end (BaseTrafficLight AIR_WALL_LENGTH, base_traffic_light.py:17,
+        # 44-51; contact classified in base_vehicle.py:720-733)
+        if light_ctx is not None:
+            wall = collision.obb_obb_overlap(
+                ego.pos[:, None, :], ego.heading[:, None],
+                ego.params.length[:, None], ego.params.width[:, None],
+                light_ctx["pos"], light_ctx["heading"],
+                jnp.full_like(light_ctx["width"], 0.25), light_ctx["width"],
+            ) & light_ctx["valid"]
+            status = light_ctx["status"]
+            info["on_green_light"] = (wall & (status == 0)).any(axis=1)
+            info["on_yellow_light"] = (wall & (status == 1)).any(axis=1)
+            info["on_red_light"] = (wall & (status == 2)).any(axis=1)
 
         # auto-reset done envs in place (vectorized-RL semantics replacing
         # the reference's explicit env.reset())

@@ -287,6 +287,7 @@ def compile_scene(seed, config):
     #      alternating signal cycle.) ----------------------------------------
     lights_cfg = config.get("pg_traffic_lights") or None
     light_lane, light_long, light_pos, light_offset = [], [], [], []
+    light_heading, light_width = [], []
     if lights_cfg:
         from metadrive_ped_tpu.mapgen.blocks import InterSection
         g_dur = int(lights_cfg.get("green", 30)) if isinstance(lights_cfg, dict) else 30
@@ -307,6 +308,11 @@ def compile_scene(seed, config):
                     light_lane.append(lane_list.index(lane))
                     light_long.append(lane.length)
                     light_pos.append(np.asarray(lane.position(lane.length, 0), np.float32))
+                    # the air-wall stop region spans the lane at its end
+                    # (BaseTrafficLight: AIR_WALL_LENGTH x lane width,
+                    # base_traffic_light.py:17,44-51)
+                    light_heading.append(float(lane.heading_theta_at(lane.length)))
+                    light_width.append(float(lane.width))
                     # opposite arms share a phase (0/2 vs 1/3)
                     light_offset.append((arm % 2) * half)
     LT = len(light_lane)
@@ -547,6 +553,8 @@ def compile_scene(seed, config):
         light_lane=np.asarray(light_lane, np.int32),
         light_long=np.asarray(light_long, np.float32),
         light_pos=np.asarray(light_pos, np.float32).reshape(LT, 2),
+        light_heading=np.asarray(light_heading, np.float32),
+        light_width=np.asarray(light_width, np.float32),
         light_offset=np.asarray(light_offset, np.int32),
         light_valid=np.ones(LT, bool),
         slot_lane=np.asarray(slot_lane, np.int32), slot_long=np.asarray(slot_long, np.float32),

@@ -100,12 +100,17 @@ def _lane_gaps(scene, sidx, lanes, npc_pos, npc_len,
 
 
 def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
-              expert_actions=None, expert_mask=None):
+              expert_actions=None, expert_mask=None, light_block=None):
     """One env-step of all NPCs: IDM + lane change + dynamics + routing.
 
     expert_actions/[E,N,2] + expert_mask/[E,N]: MixedPGTrafficManager — the
     masked slots drive with ExpertPolicy actions instead of IDM
-    (traffic_manager.py:403-409; assembled by ops/mixed_traffic.py)."""
+    (traffic_manager.py:403-409; assembled by ops/mixed_traffic.py).
+
+    light_block = (light_lane [E,LG], light_long [E,LG], stop [E,LG]): red
+    traffic lights act as a stationary front body at the stop line of their
+    lane (the reference's light is a physical air wall across the lane,
+    base_traffic_light.py:45-51), so IDM traffic queues at red."""
     E, N = npc.lane.shape
     cand_pos = jnp.concatenate([npc.pos, ego.pos[:, None, :]], axis=1)      # [E,N+1,2]
     cand_speed = jnp.concatenate([npc.speed, ego.speed[:, None]], axis=1)
@@ -176,14 +181,28 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     acc_front_speed = jnp.where(go_left, l_front_speed, jnp.where(go_right, r_front_speed, front_speed))
     acc_has_front = jnp.isfinite(acc_gap)
 
+    gt = lane_geom.gather_lane(scene, sidx[:, None], target)
+    t_long, t_lat = lane_geom.local_coordinates(gt, npc.pos)
+
+    if light_block is not None:
+        # a red light on my target lane ahead = a parked body at the stop
+        # line: fold it into the front gap so IDM brakes and queues
+        l_lane, l_long, l_stop = light_block
+        same = (l_lane[:, None, :] == target[:, :, None]) & l_stop[:, None, :]
+        dist_stop = l_long[:, None, :] - t_long[..., None]            # [E,N,LG]
+        dist_stop = jnp.where(same & (dist_stop > 0), dist_stop, jnp.inf)
+        light_gap = dist_stop.min(axis=2) - npc.params.length / 2
+        closer = light_gap < jnp.where(acc_has_front, acc_gap, jnp.inf)
+        acc_gap = jnp.where(closer, light_gap, acc_gap)
+        acc_front_speed = jnp.where(closer, 0.0, acc_front_speed)
+        acc_has_front = acc_has_front | jnp.isfinite(light_gap)
+
     acc = idm_acceleration(
         v_kmh, acc_front_speed * 3.6, jnp.where(acc_has_front, acc_gap, 1e6), acc_has_front,
         target_speed_kmh=jnp.where(creep, CREEP_SPEED, NORMAL_SPEED),
     )
 
     # --- steering PID toward the (possibly new) target lane ----------------
-    gt = lane_geom.gather_lane(scene, sidx[:, None], target)
-    t_long, t_lat = lane_geom.local_coordinates(gt, npc.pos)
     lane_heading = lane_geom.heading_theta_at(gt, t_long + 1.0)
     herr = -wrap_to_pi(lane_heading - npc.heading)
     steer_h, h_i, h_e = _pid(HEADING_PID, herr, npc.heading_pid_i, npc.heading_pid_e)

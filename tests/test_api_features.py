@@ -119,6 +119,70 @@ def test_pg_traffic_lights_cycle():
     assert flags, "driving through the intersection must touch a light state"
 
 
+def test_red_light_holds_idm_npc():
+    """A red PG light is a stationary air wall at the stop line
+    (base_traffic_light.py:17,44-51): an IDM NPC approaching it must queue
+    behind the line through the red phase and cross after green returns
+    (VERDICT r1 item 10)."""
+    import jax.numpy as jnp
+    from metadrive_ped_tpu import MetaDriveEnv
+    env = MetaDriveEnv(dict(num_envs=1, map="SXS", num_scenarios=1,
+                            traffic_density=0.1, traffic_mode="respawn",
+                            pg_traffic_lights=dict(green=100, yellow=5)))
+    env.reset(seed=0)
+    pack = env._pack
+    # pick a light whose phase starts RED (offset = green+yellow = 105)
+    red_ids = np.where(pack["light_offset"][0] == 105)[0]
+    lid = int(red_ids[0])
+    light_lane = int(pack["light_lane"][0, lid])
+    light_long = float(pack["light_long"][0, lid])
+    # plant NPC slot 0 on that lane, 25 m before the stop line, rolling
+    snap = env.snapshot()
+    npc = snap.npc
+    lane = np.array(npc.lane)
+    lane[:, 0] = light_lane
+    from metadrive_ped_tpu.ops import lane_geom
+    g = lane_geom.gather_lane(env.scene, jnp.zeros((1,), jnp.int32),
+                              jnp.full((1,), light_lane, jnp.int32))
+    start_long = light_long - 25.0
+    pos0 = np.asarray(lane_geom.position(g, jnp.full((1,), start_long), jnp.zeros(1)))
+    heading0 = np.asarray(lane_geom.heading_theta_at(g, jnp.full((1,), start_long)))
+    pos = np.array(npc.pos)
+    heading = np.array(npc.heading)
+    pos[:, 0] = pos0
+    heading[:, 0] = heading0
+    active = np.zeros_like(np.asarray(npc.active))
+    active[:, 0] = True
+    speed = np.zeros_like(heading)
+    speed[:, 0] = 5.0
+    snap = snap.replace(npc=npc.replace(
+        pos=pos, heading=heading, lane=lane, active=active,
+        released=active.copy(), speed=speed,
+    ))
+    env.restore(snap)
+
+    def npc_long():
+        g2 = lane_geom.gather_lane(env.scene, jnp.zeros((1,), jnp.int32),
+                                   jnp.full((1,), light_lane, jnp.int32))
+        l, _ = lane_geom.local_coordinates(
+            g2, jnp.asarray(env._state.npc.pos[:, 0]))
+        return float(l[0])
+
+    acts = np.zeros((1, 2), np.float32)
+    # red for steps 0..104: the NPC must hold behind the stop line
+    for _ in range(105):
+        env.step(acts)
+        assert npc_long() < light_long - 1.0, "NPC must queue at the red light"
+    # green for steps 105..209: it crosses
+    crossed = False
+    for _ in range(100):
+        env.step(acts)
+        if npc_long() > light_long or not bool(np.asarray(env._state.npc.active)[0, 0]):
+            crossed = True
+            break
+    assert crossed, "NPC must proceed once the light turns green"
+
+
 def test_hybrid_traffic_mode():
     """Hybrid: trigger-released NPCs recycle at lane end
     (traffic_manager.py:27-28)."""

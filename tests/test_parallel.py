@@ -39,3 +39,61 @@ def test_sharded_state_lives_on_mesh():
 def test_mesh_shapes():
     mesh = make_mesh()
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_worker_striding_pg_env():
+    """Multi-host env construction: each worker compiles and samples its own
+    stride of the global seed set (the reference shards scenarios across ray
+    workers; scenario_data_manager.py:26-32)."""
+    import numpy as np
+    cfgs = [dict(num_envs=32, map="S", num_scenarios=4, traffic_density=0.0,
+                 worker_index=w, num_workers=2) for w in (0, 1)]
+    seeds_seen = []
+    for cfg in cfgs:
+        env = MetaDriveEnv(cfg)
+        assert env.num_scenarios == 2
+        _, info = env.reset(seed=7)
+        seeds_seen.append(set(int(s) for s in np.asarray(info["env_seed"])))
+    assert seeds_seen[0] <= {0, 2} and seeds_seen[1] <= {1, 3}
+    assert seeds_seen[0] and seeds_seen[1]
+
+
+def test_two_process_distributed():
+    """2-process jax.distributed smoke test on CPU (Gloo collectives): both
+    processes init the runtime, see the global device count, stride the
+    scenario set disjointly, and agree on the allgathered metric."""
+    import socket
+    import subprocess
+    import sys
+    import os
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_dist_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=root, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    results = {}
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+        assert lines, f"worker produced no RESULT:\n{out[-2000:]}"
+        _, pid, nproc, ndev, seeds, gathered = lines[0].split()
+        results[int(pid)] = (int(nproc), int(ndev), seeds, gathered)
+    assert set(results) == {0, 1}
+    for nproc, ndev, _, _ in results.values():
+        assert nproc == 2
+        assert ndev == 4, "2 processes x 2 virtual devices = 4 global"
+    s0 = set(results[0][2].split(","))
+    s1 = set(results[1][2].split(","))
+    assert s0.isdisjoint(s1), "workers must own disjoint scenario strides"
+    assert results[0][3] == results[1][3], \
+        "allgathered metrics must agree across processes"
