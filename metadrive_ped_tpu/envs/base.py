@@ -235,6 +235,12 @@ class BaseVectorEnv:
             self._npc_expert_params = load_expert_params()
         self.scene = Scene.from_pack(pack)
         self._pack = pack  # host-side arrays (texture baking, debugging)
+        from metadrive_ped_tpu.core.logger import get_logger
+        get_logger().info(
+            "compiled %d PG scene(s): %d lane slots, %d NPC slots, %d boundary segs",
+            pack["lane_kind"].shape[0], pack["lane_kind"].shape[1],
+            pack["npc_lane"].shape[1], pack["seg_p0"].shape[1],
+        )
         # live scenario band: episode sampling draws from
         # [0, num_scenarios); CurriculumWrapper narrows it then re-jits
         # (ScenarioCurriculumManager semantics for PG seeds)

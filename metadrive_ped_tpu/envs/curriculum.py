@@ -71,7 +71,12 @@ class CurriculumWrapper:
         return obs, r, term, trunc, info
 
     def level_up(self):
+        from metadrive_ped_tpu.core.logger import get_logger
         self.level += 1
+        get_logger().info(
+            "curriculum level %d/%d: scenario band -> %d",
+            self.level, self.num_levels, self.band * (self.level + 1),
+        )
         self._recent = deque(maxlen=self._episodes_to_eval)
         self._apply_level()
         import jax

@@ -127,6 +127,12 @@ class ScenarioEnv:
             sds = sds[: cfg["num_scenarios"]]
         self.num_scenarios = len(sds)
         pack = build_scenario_pack(sds)
+        from metadrive_ped_tpu.core.logger import get_logger
+        get_logger().info(
+            "compiled %d scenario(s): %d track slots, %d map lanes, T=%d",
+            self.num_scenarios, pack["trk_pos"].shape[1],
+            pack["lane_pts"].shape[1], pack["trk_pos"].shape[2],
+        )
         self._has_lanes = bool(np.any(pack["lane_valid"]))
         self.scene = ScenarioScene.from_pack(pack)
         self.num_envs = cfg["num_envs"]

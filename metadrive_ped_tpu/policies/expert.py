@@ -47,6 +47,12 @@ def load_expert_params(path=None, allow_zero_init=False):
             f"expert_weights.npz not found (searched {paths}); pass "
             "allow_zero_init=True for an explicit zero-initialized smoke policy"
         )
+    from metadrive_ped_tpu.core.logger import get_logger
+    get_logger().warning(
+        "expert weights zero-initialized (allow_zero_init=True): the policy "
+        "coasts straight; vendored checkpoint not loaded",
+        extra={"log_once": True},
+    )
     return dict(
         w1=jnp.zeros((OBS_DIM, 256)), b1=jnp.zeros(256),
         w2=jnp.zeros((256, 256)), b2=jnp.zeros(256),
