@@ -61,6 +61,15 @@ class ScenarioScene:
     light_valid: jnp.ndarray    # [S, LG]
     sdc_start_pos: jnp.ndarray     # [S,2]
     sdc_start_heading: jnp.ndarray  # [S]
+    # time-major flattened copies: per-step pose lookups become pure row
+    # gathers a[sidx * T + t] (the TPU fast path) instead of one-hot
+    # contractions over the T axis (profiled as multiply_reduce hotspots)
+    trk_pos_t: jnp.ndarray        # [S*T, TRK, 2]
+    trk_heading_t: jnp.ndarray    # [S*T, TRK]
+    trk_valid_t: jnp.ndarray      # [S*T, TRK]
+    light_status_t: jnp.ndarray   # [S*T, LG]
+    sdc_pos_t: jnp.ndarray        # [S*T, 2]
+    sdc_heading_t: jnp.ndarray    # [S*T]
 
     @classmethod
     def from_pack(cls, pack):

@@ -639,6 +639,28 @@ class BaseVectorEnv:
             jnp.concatenate(active, axis=1),
         ), kinds
 
+    def _step_traffic(self, state, npc, ego, dt, rep, light_block):
+        """Advance NPC traffic one decision step (IDM + optional expert
+        slots). MARL envs override this to step traffic once per ENV against
+        all agent rows instead of once per agent."""
+        cfg = self.config
+        scene = self.scene
+        expert_actions = expert_mask = None
+        if cfg["rl_agent_ratio"] > 0:
+            from metadrive_ped_tpu.ops import mixed_traffic
+            expert_actions = mixed_traffic.expert_npc_actions(
+                scene, state.sidx, npc, ego, self._npc_expert_params,
+                num_lasers=cfg["vehicle_config"]["lidar"]["num_lasers"],
+                distance=cfg["vehicle_config"]["lidar"]["distance"],
+            )
+            expert_mask = scene.npc_expert[state.sidx]
+        return idm.step_npcs(
+            scene, state.sidx, npc, ego, dt=dt, substeps=rep,
+            respawn_mode=cfg["traffic_mode"] in ("respawn", "hybrid"),
+            expert_actions=expert_actions, expert_mask=expert_mask,
+            light_block=light_block,
+        )
+
     def _resolve_contacts(self, state, ego, npc, hits, kinds, t_pos, t_heading,
                           t_len, t_wid, frozen):
         """Batched rigid contact response (replaces Bullet's solver,
@@ -789,17 +811,6 @@ class BaseVectorEnv:
         trig = scene.npc_trigger_road[state.sidx]  # [E,N]
         released = npc.released | (trig == cur_road[:, None])
         npc = npc.replace(released=released)
-        # hybrid = trigger release + respawn-style recycling at lane end
-        # (traffic_manager.py:27-28, 104-112)
-        expert_actions = expert_mask = None
-        if cfg["rl_agent_ratio"] > 0:
-            from metadrive_ped_tpu.ops import mixed_traffic
-            expert_actions = mixed_traffic.expert_npc_actions(
-                scene, state.sidx, npc, ego, self._npc_expert_params,
-                num_lasers=cfg["vehicle_config"]["lidar"]["num_lasers"],
-                distance=cfg["vehicle_config"]["lidar"]["distance"],
-            )
-            expert_mask = scene.npc_expert[state.sidx]
         light_block = None
         if light_ctx is not None:
             # red lights hold IDM NPCs at the stop line (the air wall is a
@@ -808,12 +819,7 @@ class BaseVectorEnv:
                 light_ctx["lane"], light_ctx["long"],
                 light_ctx["valid"] & (light_ctx["status"] == 2),
             )
-        npc = idm.step_npcs(
-            scene, state.sidx, npc, ego, dt=dt, substeps=rep,
-            respawn_mode=cfg["traffic_mode"] in ("respawn", "hybrid"),
-            expert_actions=expert_actions, expert_mask=expert_mask,
-            light_block=light_block,
-        )
+        npc = self._step_traffic(state, npc, ego, dt, rep, light_block)
 
         # pedestrians / cyclists advance kinematically
         ped = participants.step_peds(scene, state.sidx, state.ped, dt * rep)

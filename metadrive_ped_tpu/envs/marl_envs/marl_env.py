@@ -16,9 +16,14 @@ Covered semantics:
 - an env auto-resets only when ALL its agents are simultaneously finished
   ("__all__" aggregation, multi_agent_metadrive.py:130-150)
 
-Known round-1 simplifications (documented): two agents respawning on the
-same step can rarely pick the same slot; slot-occupancy uses a radial check
-instead of the reference's exact box sweep (rect_region_detection).
+- respawn slot occupancy uses the reference's box sweep: an 8 x 3 m region
+  at the spawn point must be free of every agent body
+  (rect_region_detection, spawn_manager.py:27-29, 163)
+- same-step respawns claim slots sequentially (a lax.scan over the agent
+  axis), so two agents can never share a slot (spawn_places_used,
+  spawn_manager.py:160-166)
+- background IDM traffic: NPC state is canonical per ENV (agent-0 row) and
+  stepped once against ALL agent bodies, then broadcast back to rows
 """
 import jax
 import jax.numpy as jnp
@@ -26,7 +31,9 @@ import numpy as np
 
 from metadrive_ped_tpu.envs.metadrive_env import MetaDriveEnv
 
-RESPAWN_CLEAR_RADIUS = 6.0  # ~ RESPAWN_REGION 8 x 3 m box (spawn_manager.py:27-29)
+# RESPAWN_REGION box (spawn_manager.py:27-29)
+RESPAWN_REGION_LONGITUDE = 8.0
+RESPAWN_REGION_LATERAL = 3.0
 
 
 class MultiAgentMetaDrive(MetaDriveEnv):
@@ -58,10 +65,6 @@ class MultiAgentMetaDrive(MetaDriveEnv):
     def __init__(self, config=None):
         cfg_in = dict(config or {})
         super().__init__(cfg_in)
-        assert self.config["traffic_density"] == 0.0, (
-            "MARL + background IDM traffic is not supported yet (the NPC "
-            "state would be duplicated per agent row)"
-        )
         self.agents_per_env = self.config["num_agents"]
         self.num_marl_envs = self.config["num_envs"]
         # internal row count: every agent is a row
@@ -90,7 +93,7 @@ class MultiAgentMetaDrive(MetaDriveEnv):
         obs = self._observe(state, self.scene.slot_long[sidx, state.ego.slot],
                             jnp.zeros(rows))
         self._last_obs = obs
-        info = dict(env_seed=sidx + self.config["start_seed"])
+        info = dict(env_seed=self._seed_of(sidx))
         return state, obs, info
 
     def _assign_slots(self, key, sidx_env):
@@ -104,6 +107,54 @@ class MultiAgentMetaDrive(MetaDriveEnv):
         return order[:, :A]
 
     # ---- hooks into the base step ----------------------------------------
+    def _step_traffic(self, state, npc, ego, dt, rep, light_block):
+        """Background IDM traffic in MARL: the NPC state is canonical per
+        ENV (all A rows of one env carry identical copies). Step the
+        canonical copy ONCE against every agent body, then broadcast back.
+        The reference simply has one traffic manager per env."""
+        if self.scene.npc_lane.shape[1] == 0 or self.config["traffic_density"] == 0.0:
+            return npc
+        from metadrive_ped_tpu.ops import idm as idm_ops
+        E, A = self.num_marl_envs, self.agents_per_env
+        take0 = lambda x: self._rows_to_EA(x)[:, 0]
+        npc_env = jax.tree_util.tree_map(take0, npc)
+        lb_env = None
+        if light_block is not None:
+            lb_env = tuple(take0(x) for x in light_block)
+        agents = (
+            self._rows_to_EA(ego.pos),
+            self._rows_to_EA(ego.speed),
+            self._rows_to_EA(ego.params.length),
+            jnp.ones((E, A), bool),      # corpses keep blocking (delay_done)
+        )
+        sidx_env = take0(state.sidx)
+        npc_env = idm_ops.step_npcs(
+            self.scene, sidx_env, npc_env, None, dt=dt, substeps=rep,
+            respawn_mode=self.config["traffic_mode"] in ("respawn", "hybrid"),
+            light_block=lb_env, extra_bodies=agents,
+        )
+        return jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, A, axis=0), npc_env
+        )
+
+    def _resolve_contacts(self, state, ego, npc, hits, kinds, t_pos, t_heading,
+                          t_len, t_wid, frozen):
+        """Contact response with duplicated per-row NPC copies: each agent
+        row computes its own push against its copy; aggregate the pushes
+        over the agent axis so every row sees the same post-contact NPC
+        state (one physics world per env, like Bullet)."""
+        ego2, npc2 = super()._resolve_contacts(
+            state, ego, npc, hits, kinds, t_pos, t_heading, t_len, t_wid, frozen
+        )
+        if self.scene.npc_lane.shape[1] == 0:
+            return ego2, npc2
+        A = self.agents_per_env
+        push = self._rows_to_EA(npc2.pos - npc.pos).sum(axis=1)       # [E,N,2]
+        pos = self._rows_to_EA(npc.pos)[:, 0] + push
+        speed = self._rows_to_EA(npc2.speed).min(axis=1)              # worst case
+        bcast = lambda x: jnp.repeat(x, A, axis=0)
+        return ego2, npc2.replace(pos=bcast(pos), speed=bcast(speed))
+
     def _extra_vehicle_targets(self, state):
         E, A = self.num_marl_envs, self.agents_per_env
         ego = state.ego
@@ -143,28 +194,56 @@ class MultiAgentMetaDrive(MetaDriveEnv):
         return state, terminated, truncated
 
     def _respawn(self, state, mask):
-        """Respawn masked rows at a random free slot of their env."""
+        """Respawn masked rows at a random free slot of their env.
+
+        Occupancy is the reference's box sweep: the 8 x 3 m respawn region
+        at the slot must not overlap ANY agent body (rect_region_detection,
+        spawn_manager.py:163). Same-step respawns claim slots sequentially
+        over the agent axis (spawn_places_used) so no two agents share one.
+        """
         E, A = self.num_marl_envs, self.agents_per_env
         SLOT = self.scene.slot_valid.shape[1]
         scene = self.scene
         sidx_env = self._rows_to_EA(state.sidx)[:, 0]
-        # slot occupancy: any agent of the env within RESPAWN_CLEAR_RADIUS
         slot_lane = scene.slot_lane[sidx_env]          # [E,SLOT]
-        from metadrive_ped_tpu.ops import lane_geom
+        from metadrive_ped_tpu.ops import collision, lane_geom
         g = lane_geom.gather_lane(scene, sidx_env[:, None], slot_lane)
         slot_pos = lane_geom.position(g, scene.slot_long[sidx_env], jnp.zeros((E, SLOT)))
-        agent_pos = self._rows_to_EA(state.ego.pos)    # [E,A,2]
-        d2 = ((slot_pos[:, :, None, :] - agent_pos[:, None, :, :]) ** 2).sum(-1)
-        occupied = (d2 < RESPAWN_CLEAR_RADIUS ** 2).any(axis=2)  # [E,SLOT]
+        slot_heading = lane_geom.heading_theta_at(g, scene.slot_long[sidx_env])
+        agent_pos = self._rows_to_EA(state.ego.pos)        # [E,A,2]
+        agent_heading = self._rows_to_EA(state.ego.heading)
+        agent_len = self._rows_to_EA(state.ego.params.length)
+        agent_wid = self._rows_to_EA(state.ego.params.width)
+        occupied = collision.obb_obb_overlap(
+            slot_pos[:, :, None, :], slot_heading[:, :, None],
+            jnp.full((E, SLOT, 1), RESPAWN_REGION_LONGITUDE),
+            jnp.full((E, SLOT, 1), RESPAWN_REGION_LATERAL),
+            agent_pos[:, None], agent_heading[:, None],
+            agent_len[:, None], agent_wid[:, None],
+        ).any(axis=2)                                      # [E,SLOT]
         free = scene.slot_valid[sidx_env] & ~occupied
 
         new_keys = jax.vmap(jax.random.split)(state.rng)
         rng_next, rng_pick = new_keys[:, 0], new_keys[:, 1]
         noise = jax.vmap(lambda k: jax.random.uniform(k, (SLOT,)))(rng_pick)  # [rows,SLOT]
-        free_rows = jnp.repeat(free, A, axis=0)
-        score = jnp.where(free_rows, noise, -1.0)
-        new_slot = jnp.argmax(score, axis=1)
-        has_free = score.max(axis=1) > 0
+        score = jnp.where(jnp.repeat(free, A, axis=0), noise, -1.0)
+        # only respawning rows compete for slots
+        score = jnp.where(mask[:, None], score, -1.0)
+        score_EA = self._rows_to_EA(score)                 # [E,A,SLOT]
+
+        def claim(taken, score_a):                         # scan over agents
+            s = jnp.where(taken, -1.0, score_a)
+            best = s.max(axis=1)
+            oh = (s == best[:, None]) & (best > 0)[:, None]
+            oh = oh & (jnp.cumsum(oh, axis=1) == 1)        # first tie only
+            pick = (oh * jnp.arange(SLOT)).sum(axis=1).astype(jnp.int32)
+            return taken | oh, (pick, best > 0)
+
+        _, (picks, oks) = jax.lax.scan(
+            claim, jnp.zeros((E, SLOT), bool), jnp.moveaxis(score_EA, 1, 0)
+        )
+        new_slot = jnp.moveaxis(picks, 0, 1).reshape(E * A)
+        has_free = jnp.moveaxis(oks, 0, 1).reshape(E * A)
 
         fresh = self._spawn(rng_next, state.sidx, new_slot.astype(jnp.int32))
         do = mask & has_free

@@ -247,16 +247,12 @@ class ScenarioEnv:
         scene, sidx = self.scene, state.sidx
         T = scene.trk_pos.shape[2]
         t = jnp.clip(state.step_count, 0, T - 1)
-        trk_pos = scene.trk_pos[sidx]        # [E,TRK,T,2] (row gather: fast)
-        trk_heading = scene.trk_heading[sidx]
-        trk_valid = scene.trk_valid[sidx]
-        E, TRK = trk_valid.shape[:2]
-        # per-env time select as a one-hot contraction over T (take_along_axis
-        # would lower to serialized scalar gathers on TPU — CLAUDE.md rule)
-        oh_t = (t[:, None] == jnp.arange(T)).astype(jnp.float32)           # [E,T]
-        pos = jnp.einsum("et,ektc->ekc", oh_t, trk_pos)
-        heading = jnp.einsum("et,ekt->ek", oh_t, trk_heading)
-        active = jnp.einsum("et,ekt->ek", oh_t, trk_valid.astype(jnp.float32)) > 0.5
+        # pose-at-t as a flat ROW gather over the time-major copy (fast
+        # path); a one-hot contraction over T was the profiled hotspot
+        flat = sidx * T + t
+        pos = scene.trk_pos_t[flat]          # [E,TRK,2]
+        heading = scene.trk_heading_t[flat]
+        active = scene.trk_valid_t[flat]
 
         if self.config["reactive_traffic"]:
             # TrajectoryIDM vehicles follow their recorded route with IDM
@@ -265,7 +261,7 @@ class ScenarioEnv:
             # scenario_traffic_manager.py:217-235); everything else replays.
             npts = scene.trk_npts[sidx]
             arcl = scene.trk_arclen[sidx]
-            path = trk_pos  # [E,TRK,T,2] as polyline per track
+            path = scene.trk_pos[sidx]  # [E,TRK,T,2] as polyline per track
             p_pos = polyline.position(path, npts, state.npc_long, s=arcl)
             p_heading = polyline.heading_at(path, npts, state.npc_long, s=arcl)
             reactive = scene.trk_reactive_ok[sidx]
@@ -430,8 +426,7 @@ class ScenarioEnv:
             total[:, None],
         )
         ck_pos = polyline.position(
-            pts[:, None].repeat(NUM_WAY_POINT - 1, 1), npts[:, None], ck_long,
-            s=arcl[:, None],
+            pts[:, None], npts[:, None], ck_long, s=arcl[:, None],
         )
         dirv = ck_pos - ego.pos[:, None, :]
         dn = jnp.sqrt((dirv ** 2).sum(-1))
@@ -479,10 +474,12 @@ class ScenarioEnv:
             past_pos=jnp.concatenate([ego.past_pos[:, 1:], ego.pos[:, None]], axis=1),
         )
         if cfg["replay_ego"]:
-            # force-set the recorded sdc state (ReplayEgoCarPolicy semantics)
-            t = jnp.clip(state.step_count + 1, 0, scene.sdc_track_pos.shape[1] - 1)
-            pos = scene.sdc_track_pos[state.sidx, t]
-            heading = scene.sdc_track_heading[state.sidx, t]
+            # force-set the recorded sdc state (ReplayEgoCarPolicy semantics);
+            # flat row gather, not pointwise [sidx, t] fancy indexing
+            T = scene.sdc_track_pos.shape[1]
+            flat = state.sidx * T + jnp.clip(state.step_count + 1, 0, T - 1)
+            pos = scene.sdc_pos_t[flat]
+            heading = scene.sdc_heading_t[flat]
             speed = jnp.sqrt(((pos - ego.pos) ** 2).sum(-1)) / 0.1
             vel_dir = jnp.zeros_like(speed)
         else:
@@ -551,11 +548,8 @@ class ScenarioEnv:
         # base_vehicle.py:720-733): red/yellow within the stop region
         lp = scene.light_pos[state.sidx]                    # [E,LG,2]
         LT = scene.light_status.shape[2]
-        lt = jnp.clip(state.step_count, 0, LT - 1)
-        oh_lt = (lt[:, None] == jnp.arange(LT)).astype(jnp.float32)
-        lstat = jnp.einsum(
-            "et,egt->eg", oh_lt, scene.light_status[state.sidx].astype(jnp.float32)
-        ).round().astype(jnp.int32)                          # [E,LG]
+        lflat = state.sidx * LT + jnp.clip(state.step_count, 0, LT - 1)
+        lstat = scene.light_status_t[lflat]                  # [E,LG] row gather
         ldist = jnp.sqrt(((lp - ego.pos[:, None, :]) ** 2).sum(-1))
         near = (ldist < 4.0) & scene.light_valid[state.sidx]
         on_red = (near & (lstat == 3)).any(axis=1)
@@ -568,18 +562,10 @@ class ScenarioEnv:
         on_lane = jnp.ones(E, bool)
         use_lanes = self._has_lanes and cfg["need_lane_localization"]
         if use_lanes:
-            lpts = scene.lane_pts[state.sidx]
-            lnpts = scene.lane_npts[state.sidx]
-            larc = scene.lane_arclen[state.sidx]
-            l_long, l_lat = polyline.local_coordinates(
-                lpts, lnpts, ego.pos[:, None, :], s=larc
-            )                                                     # [E,LN]
-            l_total = polyline.total_length(lpts, lnpts, s=larc)
-            inside = (
-                (jnp.abs(l_lat) <= scene.lane_width[state.sidx] / 2)
-                & (l_long >= -0.5) & (l_long <= l_total + 0.5)
-                & scene.lane_valid[state.sidx]
-            )
+            inside = polyline.in_band(
+                scene.lane_pts[state.sidx], scene.lane_npts[state.sidx],
+                ego.pos[:, None, :], scene.lane_width[state.sidx] / 2,
+            ) & scene.lane_valid[state.sidx]                      # [E,LN]
             on_lane = inside.any(axis=1)
 
         ego = ego.replace(
@@ -681,7 +667,8 @@ class ScenarioEnv:
             )
             # refresh the cached obs inputs for re-spawned rows: spawn sits at
             # arc length 0 of the new sdc trajectory; tracks are at t=0 (a
-            # static slice — no one-hot contraction needed)
+            # flat row gather at the scenario's first frame)
+            T0 = scene.trk_pos.shape[2]
             d1 = done[:, None]
             long = jnp.where(done, 0.0, long)
             lat = jnp.where(done, 0.0, lat)
@@ -689,9 +676,9 @@ class ScenarioEnv:
                 done, scene.sdc_start_heading[state.sidx], traj_heading
             )
             npc_pose = (
-                jnp.where(d1[..., None], scene.trk_pos[state.sidx][:, :, 0], npc_pos),
-                jnp.where(d1, scene.trk_heading[state.sidx][:, :, 0], npc_heading),
-                jnp.where(d1, scene.trk_valid[state.sidx][:, :, 0], npc_active),
+                jnp.where(d1[..., None], scene.trk_pos_t[state.sidx * T0], npc_pos),
+                jnp.where(d1, scene.trk_heading_t[state.sidx * T0], npc_heading),
+                jnp.where(d1, scene.trk_valid_t[state.sidx * T0], npc_active),
             )
 
         obs = self._observe(state, cached=(long, lat, traj_heading, npc_pose))

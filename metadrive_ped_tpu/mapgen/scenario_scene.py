@@ -256,4 +256,20 @@ def build_scenario_pack(sds):
     pack["trk_arclen"] = np_arc(pack["trk_pos"], trk_npts)
     pack["sdc_arclen"] = np_arc(pack["sdc_pts"], pack["sdc_npts"])
     pack["lane_arclen"] = np_arc(pack["lane_pts"], pack["lane_npts"])
+
+    # time-major flat copies: pose-at-t = one ROW gather a[sidx*T + t]
+    # instead of a one-hot contraction over T (TPU scalar-gather rule)
+    S, TRK, T, _ = pack["trk_pos"].shape
+    pack["trk_pos_t"] = np.ascontiguousarray(
+        np.moveaxis(pack["trk_pos"], 2, 1)).reshape(S * T, TRK, 2)
+    pack["trk_heading_t"] = np.ascontiguousarray(
+        np.moveaxis(pack["trk_heading"], 2, 1)).reshape(S * T, TRK)
+    pack["trk_valid_t"] = np.ascontiguousarray(
+        np.moveaxis(pack["trk_valid"], 2, 1)).reshape(S * T, TRK)
+    LG, LT = pack["light_status"].shape[1:3]
+    assert LT == T, f"light horizon {LT} != track horizon {T}"
+    pack["light_status_t"] = np.ascontiguousarray(
+        np.moveaxis(pack["light_status"], 2, 1)).reshape(S * T, LG)
+    pack["sdc_pos_t"] = pack["sdc_track_pos"].reshape(S * T, 2)
+    pack["sdc_heading_t"] = pack["sdc_track_heading"].reshape(S * T)
     return pack

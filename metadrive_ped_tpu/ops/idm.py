@@ -100,7 +100,8 @@ def _lane_gaps(scene, sidx, lanes, npc_pos, npc_len,
 
 
 def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
-              expert_actions=None, expert_mask=None, light_block=None):
+              expert_actions=None, expert_mask=None, light_block=None,
+              extra_bodies=None):
     """One env-step of all NPCs: IDM + lane change + dynamics + routing.
 
     expert_actions/[E,N,2] + expert_mask/[E,N]: MixedPGTrafficManager — the
@@ -110,13 +111,31 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     light_block = (light_lane [E,LG], light_long [E,LG], stop [E,LG]): red
     traffic lights act as a stationary front body at the stop line of their
     lane (the reference's light is a physical air wall across the lane,
-    base_traffic_light.py:45-51), so IDM traffic queues at red."""
+    base_traffic_light.py:45-51), so IDM traffic queues at red.
+
+    ego may be None (MARL steps traffic once per ENV, not per agent row);
+    extra_bodies = (pos [E,X,2], speed [E,X], length [E,X], active [E,X])
+    adds further vehicles the NPCs must react to (all MARL agents)."""
     E, N = npc.lane.shape
-    cand_pos = jnp.concatenate([npc.pos, ego.pos[:, None, :]], axis=1)      # [E,N+1,2]
-    cand_speed = jnp.concatenate([npc.speed, ego.speed[:, None]], axis=1)
-    cand_len = jnp.concatenate([npc.params.length, ego.params.length[:, None]], axis=1)
-    cand_active = jnp.concatenate([npc.active, jnp.ones((E, 1), bool)], axis=1)
-    not_self = ~jnp.eye(N, N + 1, dtype=bool)[None]
+    pos_l, speed_l = [npc.pos], [npc.speed]
+    len_l, act_l = [npc.params.length], [npc.active]
+    if ego is not None:
+        pos_l.append(ego.pos[:, None, :])
+        speed_l.append(ego.speed[:, None])
+        len_l.append(ego.params.length[:, None])
+        act_l.append(jnp.ones((E, 1), bool))
+    if extra_bodies is not None:
+        x_pos, x_speed, x_len, x_act = extra_bodies
+        pos_l.append(x_pos)
+        speed_l.append(x_speed)
+        len_l.append(x_len)
+        act_l.append(x_act)
+    cand_pos = jnp.concatenate(pos_l, axis=1)                               # [E,C,2]
+    cand_speed = jnp.concatenate(speed_l, axis=1)
+    cand_len = jnp.concatenate(len_l, axis=1)
+    cand_active = jnp.concatenate(act_l, axis=1)
+    C = cand_pos.shape[1]
+    not_self = ~jnp.eye(N, C, dtype=bool)[None]
 
     g = lane_geom.gather_lane(scene, sidx[:, None], npc.lane)
     long_self, lat_self = lane_geom.local_coordinates(g, npc.pos)

@@ -114,3 +114,22 @@ def total_length(pts, npts, s=None):
     if s is None:
         s = arc_lengths(pts, npts)
     return s[..., -1]
+
+
+def in_band(pts, npts, pos, half_width):
+    """Whether pos lies within half_width of the polyline (clamped segment
+    distance). The cheap membership test: one distance pass, none of
+    local_coordinates' one-hot segment picks — profiling showed those
+    multiply-reduce contractions dominating the ScenarioEnv step when the
+    lane network is large. pts [..,P,2], pos [..,2], half_width [..]."""
+    a = pts[..., :-1, :]
+    b = pts[..., 1:, :]
+    seg = b - a
+    seg_len2 = (seg ** 2).sum(-1)
+    idxs = jnp.arange(pts.shape[-2] - 1)
+    valid = idxs < (npts[..., None] - 1)
+    rel = pos[..., None, :] - a
+    t = jnp.clip((rel * seg).sum(-1) / jnp.maximum(seg_len2, 1e-9), 0.0, 1.0)
+    proj = a + t[..., None] * seg
+    d2 = ((pos[..., None, :] - proj) ** 2).sum(-1)
+    return (jnp.where(valid, d2, jnp.inf) <= half_width[..., None] ** 2).any(-1)

@@ -204,3 +204,47 @@ def test_marl_racing_scene():
             idle_done = True
             break
     assert idle_done, "standing still ~100 steps must flag IDLE"
+
+
+def test_marl_background_traffic_consistent_rows():
+    """Background IDM traffic in MARL: NPC state is canonical per env —
+    every agent row of one env carries an identical copy — and NPCs
+    actually drive."""
+    import jax.numpy as jnp
+    env = MultiAgentRoundaboutEnv(dict(
+        num_envs=2, num_agents=4, traffic_density=0.3, traffic_mode="respawn",
+    ))
+    env.reset(seed=0)
+    N = env.scene.npc_lane.shape[1]
+    assert N > 0, "traffic_density>0 must compile NPC slots"
+    E, A = 2, 4
+    pos0 = np.asarray(env._state.npc.pos).reshape(E, A, N, 2)[:, 0].copy()
+    acts = np.zeros((E, A, 2), np.float32)
+    for _ in range(20):
+        obs, r, te, tr, info = env.step(acts)
+        rows = np.asarray(env._state.npc.pos).reshape(E, A, N, 2)
+        for a in range(1, A):
+            np.testing.assert_allclose(rows[:, a], rows[:, 0], atol=1e-6,
+                                       err_msg="NPC copies diverged across agent rows")
+    active0 = np.asarray(env._state.npc.active).reshape(E, A, N)[:, 0]
+    moved = np.linalg.norm(
+        np.asarray(env._state.npc.pos).reshape(E, A, N, 2)[:, 0] - pos0, axis=-1
+    )
+    assert (moved[active0] > 1.0).any(), "background NPCs should drive"
+
+
+def test_marl_same_step_respawns_claim_distinct_slots():
+    """spawn_places_used semantics: simultaneous respawns never share a
+    slot (spawn_manager.py:160-166)."""
+    import jax.numpy as jnp
+    env = MultiAgentRoundaboutEnv(dict(num_envs=1, num_agents=6))
+    env.reset(seed=2)
+    st = env._state
+    # teleport every agent far away so all slots are unoccupied, then make
+    # everyone respawn on the same step
+    far = np.asarray(st.ego.pos) + 500.0
+    st = st.replace(ego=st.ego.replace(pos=jnp.asarray(far)))
+    mask = jnp.ones((6,), bool)
+    st2 = env._respawn(st, mask)
+    slots = np.asarray(st2.ego.slot)
+    assert len(np.unique(slots)) == 6, f"slots must be distinct, got {slots}"
