@@ -40,10 +40,31 @@ class ScenarioDescription(dict):
 
     COORDINATE_METADRIVE = "metadrive"
 
+    class SUMMARY:
+        # key names mirror the reference (scenario_description.py:169-196)
+        # so summaries written here are readable by reference tooling
+        OBJECT_SUMMARY = "object_summary"
+        NUMBER_SUMMARY = "number_summary"
+        TYPE = "type"
+        OBJECT_ID = "object_id"
+        TRACK_LENGTH = "track_length"
+        MOVING_DIST = "moving_distance"
+        VALID_LENGTH = "valid_length"
+        CONTINUOUS_VALID_LENGTH = "continuous_valid_length"
+        OBJECT_TYPES = "object_types"
+        NUM_OBJECTS = "num_objects"
+        NUM_MOVING_OBJECTS = "num_moving_objects"
+        NUM_OBJECTS_EACH_TYPE = "num_objects_each_type"
+        NUM_MOVING_OBJECTS_EACH_TYPE = "num_moving_objects_each_type"
+        NUM_TRAFFIC_LIGHTS = "num_traffic_lights"
+        NUM_TRAFFIC_LIGHT_TYPES = "num_traffic_light_types"
+        NUM_TRAFFIC_LIGHTS_EACH_STEP = "num_traffic_light_each_step"
+        NUM_MAP_FEATURES = "num_map_features"
+
     # native python / numpy types allowed anywhere in an SD (the reference
     # guards pickle portability the same way, scenario_description.py:226)
     ALLOW_TYPES = (int, float, str, np.ndarray, dict, list, tuple, type(None), bool,
-                   np.bool_, np.integer, np.floating)
+                   set, np.bool_, np.integer, np.floating)
 
     @classmethod
     def sanity_check(cls, d, check_self_type=False, valid_check=False):
@@ -87,6 +108,85 @@ class ScenarioDescription(dict):
         )
         assert np.asarray(md[cls.TIMESTEP]).shape == (T,)
         return True
+
+    # ---- dataset summaries (scenario_description.py:342-530) -------------
+    @classmethod
+    def get_object_summary(cls, object_dict, object_id):
+        """Per-track stats: type, moving distance over valid frames, valid
+        length, and the first continuous-valid run length."""
+        state = object_dict[cls.STATE]
+        valid = np.asarray(state[cls.VALID]).astype(bool)
+        track = np.asarray(state[cls.POSITION])[valid][..., :2]
+        dist = float(np.linalg.norm(np.diff(track, axis=0), axis=-1).sum()) \
+            if len(track) > 1 else 0.0
+        cont = 0
+        for v in valid:
+            if v:
+                cont += 1
+            elif cont > 0:
+                break
+        return {
+            cls.SUMMARY.TYPE: object_dict[cls.TYPE],
+            cls.SUMMARY.OBJECT_ID: object_id,
+            cls.SUMMARY.TRACK_LENGTH: int(len(valid)),
+            cls.SUMMARY.MOVING_DIST: dist,
+            cls.SUMMARY.VALID_LENGTH: int(valid.sum()),
+            cls.SUMMARY.CONTINUOUS_VALID_LENGTH: int(cont),
+        }
+
+    @classmethod
+    def get_number_summary(cls, d):
+        """Scenario-level counts: objects (total / per type / moving),
+        traffic-light states, map features."""
+        S = cls.SUMMARY
+        tracks = d[cls.TRACKS]
+        out = {
+            S.NUM_OBJECTS: len(tracks),
+            S.OBJECT_TYPES: {v[cls.TYPE] for v in tracks.values()},
+        }
+        per_type, moving, moving_type = {}, 0, {}
+        for tid, tr in tracks.items():
+            t = tr[cls.TYPE]
+            per_type[t] = per_type.get(t, 0) + 1
+            if cls.get_object_summary(tr, tid)[S.MOVING_DIST] > 1:
+                moving += 1
+                moving_type[t] = moving_type.get(t, 0) + 1
+        out[S.NUM_OBJECTS_EACH_TYPE] = per_type
+        out[S.NUM_MOVING_OBJECTS] = moving
+        out[S.NUM_MOVING_OBJECTS_EACH_TYPE] = moving_type
+        light_types, light_steps = set(), {}
+        for v in (d.get(cls.DYNAMIC_MAP_STATES) or {}).values():
+            for st in v.get(cls.STATE, {}).get("object_state", []):
+                if st is None:
+                    continue
+                light_types.add(st)
+                light_steps[st] = light_steps.get(st, 0) + 1
+        out[S.NUM_TRAFFIC_LIGHTS] = len(d.get(cls.DYNAMIC_MAP_STATES) or {})
+        out[S.NUM_TRAFFIC_LIGHT_TYPES] = light_types
+        out[S.NUM_TRAFFIC_LIGHTS_EACH_STEP] = light_steps
+        out[S.NUM_MAP_FEATURES] = len(d.get(cls.MAP_FEATURES) or {})
+        return out
+
+    @classmethod
+    def update_summaries(cls, d):
+        """Write object_summary + number_summary into d['metadata'] in
+        place (scenario_description.py:418-437) and return d."""
+        S = cls.SUMMARY
+        d[cls.METADATA][S.OBJECT_SUMMARY] = {
+            tid: cls.get_object_summary(tr, tid)
+            for tid, tr in d[cls.TRACKS].items()
+        }
+        d[cls.METADATA][S.NUMBER_SUMMARY] = cls.get_number_summary(d)
+        return d
+
+    @classmethod
+    def sdc_moving_dist(cls, d):
+        """Moving distance of the sdc — the standard dataset filter
+        (scenario_description.py:503-524)."""
+        sdc_id = str(d[cls.METADATA][cls.SDC_ID])
+        return cls.get_object_summary(
+            d[cls.TRACKS][sdc_id], sdc_id
+        )[cls.SUMMARY.MOVING_DIST]
 
     @classmethod
     def _check_map_features(cls, map_features):

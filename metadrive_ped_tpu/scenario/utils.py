@@ -114,9 +114,14 @@ def save_dataset(scenarios, directory):
     summary, mapping = {}, {}
     for i, sd in enumerate(scenarios):
         fname = f"sd_{i}.pkl"
+        # dataset summaries travel with each scenario's metadata
+        # (scenario_description.py update_summaries; the reference writes
+        # them into dataset_summary.pkl for fast filtering)
+        SD.update_summaries(sd)
         with open(os.path.join(directory, fname), "wb") as f:
             pickle.dump(dict(sd), f)
-        summary[fname] = {"length": sd[SD.LENGTH], "id": sd[SD.ID]}
+        summary[fname] = dict(sd[SD.METADATA])
+        summary[fname].update({"length": sd[SD.LENGTH], "id": sd[SD.ID]})
         mapping[fname] = ""
     with open(os.path.join(directory, SUMMARY_FILE), "wb") as f:
         pickle.dump(summary, f)

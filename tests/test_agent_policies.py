@@ -92,3 +92,68 @@ def test_manual_control_scripted():
     speeds = np.asarray(env._state.ego.speed)
     assert speeds[0] > 1.0, "manual full throttle must drive row 0"
     assert speeds[1] < 0.2, "row 1 keeps the zero policy action"
+
+
+def test_ai_protector_decision_tree_matches_reference():
+    """Decision-for-decision pin of the takeover conditions against
+    AI_protect_policy.py:22-57: (1) boundary-danger replaces BOTH components
+    (+0.5 throttle when nearly stopped), (2) side-lidar danger replaces
+    steering only, (3) front-lidar danger replaces throttle only when the
+    user accelerates and the saver brakes, (4) clear obs pass through; a
+    takeover only *applies* from the second consecutive takeover step."""
+    import jax.numpy as jnp
+    from metadrive_ped_tpu.policies.expert import expert_action
+
+    n = 240
+    env = MetaDriveEnv(dict(
+        num_envs=4, map="S", num_scenarios=1, traffic_density=0.0,
+        use_AI_protector=True, save_level=0.5,
+        vehicle_config=dict(lidar=dict(num_lasers=n, num_others=4)),
+    ))
+    env.reset(seed=0)
+    D = env.observation_dim
+    obs = np.full((4, D), 0.5, np.float32)
+    obs[:, -n:] = 1.0                      # lidar clear everywhere...
+    # row 0: fully clear
+    # row 1: on the left boundary (obs[0] <= 1e-3 -> unconditional veto)
+    obs[1, 0] = 0.0005
+    # row 2: side collision threat (lasers around n/4)
+    left = n // 4
+    obs[2, -n + left] = 0.01
+    # row 3: frontal collision threat (first lasers)
+    obs[3, -n] = 0.01
+
+    user = np.tile([0.3, 0.7], (4, 1)).astype(np.float32)
+    state = env._state
+    saver = np.asarray(expert_action(env._expert_params, jnp.asarray(obs)))
+
+    # first call: takeover latches but is NOT applied (pre_save gate,
+    # AI_protect_policy.py:52-57)
+    state1, a1, info1 = env._ai_protect(state, jnp.asarray(user), jnp.asarray(obs))
+    np.testing.assert_allclose(np.asarray(a1), user, atol=1e-6)
+    start = np.asarray(info1["takeover_start"])
+    assert not start[0] and start[1] and start[2]
+
+    # second consecutive call applies the saver composition
+    state2, a2, info2 = env._ai_protect(state1, jnp.asarray(user), jnp.asarray(obs))
+    a2 = np.asarray(a2)
+    tk = np.asarray(info2["takeover"])
+    # row 0: untouched
+    assert not tk[0]
+    np.testing.assert_allclose(a2[0], user[0], atol=1e-6)
+    # row 1: boundary veto replaces both; ego speed ~0 -> throttle forced 0.5
+    assert tk[1]
+    np.testing.assert_allclose(a2[1, 0], saver[1, 0], atol=1e-5)
+    np.testing.assert_allclose(a2[1, 1], 0.5, atol=1e-5)
+    # row 2: steering replaced, throttle untouched
+    assert tk[2]
+    np.testing.assert_allclose(a2[2, 0], saver[2, 0], atol=1e-5)
+    np.testing.assert_allclose(a2[2, 1], user[2, 1], atol=1e-6)
+    # row 3: throttle replaced iff user accelerates AND the saver brakes
+    if saver[3, 1] <= 0:
+        assert tk[3]
+        np.testing.assert_allclose(a2[3, 1], saver[3, 1], atol=1e-5)
+        np.testing.assert_allclose(a2[3, 0], user[3, 0], atol=1e-6)
+    else:
+        assert not tk[3]
+        np.testing.assert_allclose(a2[3], user[3], atol=1e-6)

@@ -183,3 +183,38 @@ def test_curriculum_levels_up(recorded_scenarios):
     assert env.env.num_scenarios == len(recorded_scenarios)
     obs, r, te, tr, inf = env.step(np.tile([0.0, 0.5], (2, 1)))
     assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_sd_summaries(recorded_scenarios):
+    """update_summaries / get_number_summary / sdc_moving_dist mirror the
+    reference's dataset summary surface (scenario_description.py:342-530)."""
+    import copy
+    from metadrive_ped_tpu.scenario import ScenarioDescription as SD
+    sd = copy.deepcopy(recorded_scenarios[0])
+    SD.update_summaries(sd)
+    S = SD.SUMMARY
+    meta = sd[SD.METADATA]
+    assert set(meta[S.OBJECT_SUMMARY].keys()) == set(sd[SD.TRACKS].keys())
+    ns = meta[S.NUMBER_SUMMARY]
+    assert ns[S.NUM_OBJECTS] == len(sd[SD.TRACKS])
+    assert "VEHICLE" in ns[S.OBJECT_TYPES]
+    assert sum(ns[S.NUM_OBJECTS_EACH_TYPE].values()) == ns[S.NUM_OBJECTS]
+    assert ns[S.NUM_MAP_FEATURES] == len(sd[SD.MAP_FEATURES])
+    # a driving sdc has a real moving distance
+    assert SD.sdc_moving_dist(sd) > 1.0
+    # moving objects are a subset of all objects
+    assert 0 <= ns[S.NUM_MOVING_OBJECTS] <= ns[S.NUM_OBJECTS]
+    # summarized SDs still pass the full sanity matrix
+    SD.sanity_check(sd)
+
+
+def test_saved_dataset_summary_carries_metadata(tmp_path_factory, recorded_scenarios):
+    import copy
+    from metadrive_ped_tpu.scenario import ScenarioDescription as SD
+    from metadrive_ped_tpu.scenario.utils import read_dataset_summary
+    d = tmp_path_factory.mktemp("dataset3")
+    save_dataset([copy.deepcopy(s) for s in recorded_scenarios[:2]], str(d))
+    summary, ids, mapping = read_dataset_summary(str(d))
+    for fname, meta in summary.items():
+        assert SD.SUMMARY.NUMBER_SUMMARY in meta
+        assert meta["length"] == 40
