@@ -412,6 +412,7 @@ class BaseVectorEnv:
                         ego_speed=state.ego.speed, ego_action=state.ego.current_action,
                         npc_pos=state.npc.pos, npc_heading=state.npc.heading,
                         npc_speed=state.npc.speed, npc_active=state.npc.active,
+                        state=state,
                     )
                     out = {k: special[k] if k in special else info[k] for k in collect}
                     return (state, obs), out
@@ -425,6 +426,28 @@ class BaseVectorEnv:
         self._state, obs, outs = self._rollout_jit(self._state, obs0, jnp.asarray(fixed, jnp.float32))
         mean_reward = float(jnp.mean(outs["reward"])) if "reward" in outs else 0.0
         return outs, mean_reward
+
+    def record_episode(self, n_steps, policy_fn=None, actions=None):
+        """Per-frame FrameInfo recording (RecordManager,
+        manager/record_manager.py: every frame's complete object states +
+        policy outputs). Here a frame IS the full SimState pytree, so the
+        recording is the stacked pytree [T, E, ...] plus obs/reward/done —
+        pickleable, and any frame restores exactly (replay_frame).
+        Debugging-scale: memory = T x the live state."""
+        outs, _ = self.rollout(
+            n_steps, policy_fn=policy_fn, actions=actions,
+            collect=("state", "obs", "reward", "terminated", "truncated",
+                     "ego_action"),
+        )
+        return jax.tree_util.tree_map(np.asarray, outs)
+
+    def replay_frame(self, recording, t):
+        """ReplayManager force-set (manager/replay_manager.py): restore the
+        world exactly as it was after recorded step t and return the obs.
+        Deterministic stepping from here reproduces the recorded future."""
+        frame = jax.tree_util.tree_map(lambda x: x[t], recording["state"])
+        self.restore(frame)
+        return self._last_obs
 
     def dump_all_maps(self, path):
         """Write the compiled scene pack to pkl
