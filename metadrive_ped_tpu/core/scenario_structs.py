@@ -64,6 +64,11 @@ class ScenarioScene:
     # time-major flattened copies: per-step pose lookups become pure row
     # gathers a[sidx * T + t] (the TPU fast path) instead of one-hot
     # contractions over the T axis (profiled as multiply_reduce hotspots)
+    # fixed-spacing resampled routes (TRK_SPACING_M chords) — reactive
+    # traffic pose/probe lookups are one one-hot each (polyline.uniform_*)
+    trk_upath: jnp.ndarray        # [S, TRK, P5, 2]
+    trk_unpts: jnp.ndarray        # [S, TRK]
+    trk_utotal: jnp.ndarray       # [S, TRK]
     trk_pos_t: jnp.ndarray        # [S*T, TRK, 2]
     trk_heading_t: jnp.ndarray    # [S*T, TRK]
     trk_valid_t: jnp.ndarray      # [S*T, TRK]

@@ -259,11 +259,11 @@ class ScenarioEnv:
             # speed control (idm_policy.py:426-493). Eligibility was
             # precomputed per track (route > 5 m, spawned behind the ego —
             # scenario_traffic_manager.py:217-235); everything else replays.
-            npts = scene.trk_npts[sidx]
-            arcl = scene.trk_arclen[sidx]
-            path = scene.trk_pos[sidx]  # [E,TRK,T,2] as polyline per track
-            p_pos = polyline.position(path, npts, state.npc_long, s=arcl)
-            p_heading = polyline.heading_at(path, npts, state.npc_long, s=arcl)
+            from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M
+            unpts = scene.trk_unpts[sidx]
+            p_pos, p_heading = polyline.uniform_pose(
+                scene.trk_upath[sidx], unpts, TRK_SPACING_M, state.npc_long
+            )
             reactive = scene.trk_reactive_ok[sidx]
             pos = jnp.where(reactive[..., None], p_pos, pos)
             heading = jnp.where(reactive, p_heading, heading)
@@ -271,7 +271,7 @@ class ScenarioEnv:
             # despawn at arrive_destination (npc_dead)
             spawned = state.step_count[:, None] >= scene.trk_first_t[sidx]
             active = jnp.where(
-                reactive, spawned & ~state.npc_dead & (npts > 1), active
+                reactive, spawned & ~state.npc_dead & (unpts > 1), active
             )
         return pos, heading, active
 
@@ -291,13 +291,13 @@ class ScenarioEnv:
           end is cleaned (idm_policy.py:449-455 + manager before_step).
         """
         from metadrive_ped_tpu.constants import BICYCLE_REF_ACCEL
+        from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M
         from metadrive_ped_tpu.ops.idm import idm_acceleration
         scene, sidx = self.scene, state.sidx
-        npts = scene.trk_npts[sidx]
-        arcl = scene.trk_arclen[sidx]
-        path = scene.trk_pos[sidx]
         E, TRK = state.npc_long.shape
-        total = polyline.total_length(path, npts, s=arcl)
+        upath = scene.trk_upath[sidx]
+        unpts = scene.trk_unpts[sidx]
+        total = scene.trk_utotal[sidx]
 
         # candidates at their ACTUAL current pose (replay or reactive)
         cand_pos, _, cand_active = self._npc_pose(state)
@@ -310,12 +310,24 @@ class ScenarioEnv:
             [scene.trk_wid[sidx], ego.params.width[:, None]], axis=1
         )
 
-        # 20 m probe chain along my own arc (5 points / 4 chords)
-        offs = jnp.arange(5.0) * (IDM_MAX_DIST / 4.0)
-        probe_long = jnp.minimum(state.npc_long[..., None] + offs, total[..., None])
-        probe = polyline.position(
-            path[:, :, None], npts[:, :, None], probe_long, s=arcl[:, :, None]
+        # 20 m probe chain along my own arc (5 points / 4 chords) off the
+        # fixed-spacing path: chord index = base + k*(5/spacing), each probe
+        # one one-hot contraction (polyline.uniform_point)
+        my_pos, _ = polyline.uniform_pose(upath, unpts, TRK_SPACING_M, state.npc_long)
+        base = jnp.floor(state.npc_long / TRK_SPACING_M).astype(jnp.int32)
+        step_chords = int(round((IDM_MAX_DIST / 4.0) / TRK_SPACING_M))
+        probe = jnp.stack(
+            [my_pos] + [
+                polyline.uniform_point(upath, unpts, base + k * step_chords)
+                for k in range(1, 5)
+            ], axis=-2,
         )                                                                  # [E,TRK,5,2]
+        probe_long = jnp.minimum(
+            jnp.minimum(base[..., None] + jnp.arange(5) * step_chords,
+                        unpts[..., None] - 1).astype(jnp.float32) * TRK_SPACING_M,
+            total[..., None],
+        )
+        probe_long = probe_long.at[..., 0].set(state.npc_long)
         a = probe[..., :-1, :]
         seg = probe[..., 1:, :] - a
         seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))        # [E,TRK,4]
@@ -365,11 +377,9 @@ class ScenarioEnv:
             0.0, 80.0 / 3.6,
         )
         long = jnp.minimum(state.npc_long + speed * dt, total)
-        new_pos = polyline.position(path, npts, long, s=arcl)
-        end = polyline.position(path, npts, total, s=arcl)
-        dead = state.npc_dead | (
-            jnp.sqrt(((new_pos - end) ** 2).sum(-1)) < DEST_REGION_RADIUS
-        )
+        # arrive_destination within 2 m of the route end, measured along the
+        # arc (== the reference's euclidean end-region radius at route ends)
+        dead = state.npc_dead | (total - long < DEST_REGION_RADIUS)
         return state.replace(npc_long=long, npc_speed=speed, npc_acc=acc, npc_dead=dead)
 
     def _observe(self, state, cached=None):

@@ -37,8 +37,13 @@ _LANE_TYPES = {
     "LANE_BIKE_LANE", "LANE_FREEWAY",
 }
 LANE_VIS_WIDTH = 6.0        # ScenarioLane.VIS_LANE_WIDTH (scenario_lane.py:23)
-LANE_RESAMPLE_M = 3.0       # centerline resample interval
-LANE_MAX_PTS = 48
+LANE_RESAMPLE_M = 6.0       # centerline resample interval (chord sagitta on a
+                            # 30 m-radius arc ~0.15 m << half width)
+LANE_MAX_PTS = 32
+
+# fixed-spacing track routes: arc position/heading lookups collapse to one
+# one-hot + roll per step (see ops/polyline.py uniform_pose)
+TRK_SPACING_M = 2.5
 
 # TrajectoryIDM spawn eligibility (scenario_traffic_manager.py:30-32)
 IDM_CREATE_SIDE_CONSTRAINT = 15.0
@@ -272,4 +277,31 @@ def build_scenario_pack(sds):
         np.moveaxis(pack["light_status"], 2, 1)).reshape(S * T, LG)
     pack["sdc_pos_t"] = pack["sdc_track_pos"].reshape(S * T, 2)
     pack["sdc_heading_t"] = pack["sdc_track_heading"].reshape(S * T)
+
+    # fixed-spacing resampled routes for the reactive-traffic path: with
+    # uniform chords, arc->point lookup is floor(long/spacing) — one one-hot
+    # serves position, heading, and every +k*spacing probe (rolled masks)
+    utotal = pack["trk_arclen"].max(axis=-1)                       # [S,TRK]
+    P5 = int(np.clip(np.ceil(utotal.max() / TRK_SPACING_M) + 2, 4, 256))
+    upath = np.zeros((S, TRK, P5, 2), np.float32)
+    unpts = np.zeros((S, TRK), np.int32)
+    for s in range(S):
+        for k in range(TRK):
+            n = int(trk_npts[s, k])
+            if n < 2:
+                upath[s, k] = pack["trk_pos"][s, k, 0]
+                unpts[s, k] = 1
+                continue
+            arc = pack["trk_arclen"][s, k, :n]
+            pts = pack["trk_pos"][s, k, :n]
+            m = min(int(arc[-1] // TRK_SPACING_M) + 2, P5)
+            ss = np.arange(m) * TRK_SPACING_M
+            ss = np.minimum(ss, arc[-1])
+            upath[s, k, :m, 0] = np.interp(ss, arc, pts[:, 0])
+            upath[s, k, :m, 1] = np.interp(ss, arc, pts[:, 1])
+            upath[s, k, m:] = upath[s, k, m - 1]
+            unpts[s, k] = m
+    pack["trk_upath"] = upath
+    pack["trk_unpts"] = unpts
+    pack["trk_utotal"] = utotal.astype(np.float32)
     return pack

@@ -116,6 +116,37 @@ def total_length(pts, npts, s=None):
     return s[..., -1]
 
 
+def uniform_pose(upath, unpts, spacing, long):
+    """Pose at arc length `long` on a FIXED-SPACING chord path.
+
+    With uniform chords the containing segment is floor(long/spacing) — one
+    compare + two one-hot contractions replace the generic polyline
+    machinery (arc-length scan + 4 one-hot picks), which profiling showed
+    dominating the reactive-traffic step. upath [.., P, 2], unpts [..],
+    long [..] -> (pos [.., 2], heading [..]).
+    """
+    P = upath.shape[-2]
+    i = jnp.floor(long / spacing).astype(jnp.int32)
+    i = jnp.clip(jnp.minimum(i, unpts - 2), 0, P - 2)
+    frac = jnp.clip(long / spacing - i, 0.0, 1.0)
+    ar = jnp.arange(P)
+    oh0 = (i[..., None] == ar).astype(upath.dtype)
+    oh1 = ((i + 1)[..., None] == ar).astype(upath.dtype)
+    p0 = (oh0[..., None] * upath).sum(-2)
+    p1 = (oh1[..., None] * upath).sum(-2)
+    pos = p0 + frac[..., None] * (p1 - p0)
+    heading = jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
+    return pos, heading
+
+
+def uniform_point(upath, unpts, idx):
+    """Chord point at index `idx` (clamped to the valid range)."""
+    P = upath.shape[-2]
+    j = jnp.clip(jnp.minimum(idx, unpts - 1), 0, P - 1)
+    oh = (j[..., None] == jnp.arange(P)).astype(upath.dtype)
+    return (oh[..., None] * upath).sum(-2)
+
+
 def in_band(pts, npts, pos, half_width):
     """Whether pos lies within half_width of the polyline (clamped segment
     distance). The cheap membership test: one distance pass, none of
