@@ -70,3 +70,24 @@ def test_on_lane_bounds(scene_and_host):
     lats = np.array([0.0, lane.width, 0.0], np.float32)
     on = lane_geom.on_lane(g, longs, lats)
     assert bool(on[0]) and not bool(on[1]) and not bool(on[2])
+
+
+def test_pallas_ray_segment_matches_xla():
+    """ops/pallas_raycast.ray_segment_fraction_pallas is numerically
+    identical to the XLA path (interpret mode off-TPU). The v5e A/B showed
+    XLA at/above the Pallas kernel for every bench shape, so XLA stays the
+    default; this pin keeps the escape hatch correct."""
+    import numpy as np
+    import jax.numpy as jnp
+    from metadrive_ped_tpu.ops.raycast import ray_segment_fraction
+    from metadrive_ped_tpu.ops.pallas_raycast import ray_segment_fraction_pallas
+    rng = np.random.RandomState(7)
+    E, R, B = 11, 12, 53
+    origin = jnp.asarray(rng.uniform(-5, 5, (E, 2)), jnp.float32)
+    angles = jnp.asarray(rng.uniform(-np.pi, np.pi, (E, R)), jnp.float32)
+    p0 = jnp.asarray(rng.uniform(-30, 30, (E, B, 2)), jnp.float32)
+    p1 = p0 + jnp.asarray(rng.uniform(-10, 10, (E, B, 2)), jnp.float32)
+    valid = jnp.asarray(rng.rand(E, B) > 0.2)
+    a = np.asarray(ray_segment_fraction(origin, angles, 50.0, p0, p1, valid))
+    b = np.asarray(ray_segment_fraction_pallas(origin, angles, 50.0, p0, p1, valid))
+    np.testing.assert_allclose(a, b, atol=1e-5)
