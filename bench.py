@@ -61,9 +61,9 @@ def main():
                         "PG protocol (the driver's metric)")
     args = p.parse_args()
 
-    # measured on v5e: safe scales to 2.06M steps/s at 4096 (869k at 1024);
-    # scenario to 1.17M at 1024 (751k at 512)
-    default_envs = {"pg": 4096, "safe": 4096, "marl": 512, "scenario": 1024}
+    # measured on v5e: pg 3.05M at 8192 (2.90M at 4096); safe 2.06M at 4096
+    # (869k at 1024); scenario 1.17M at 1024 (751k at 512)
+    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 1024}
     num_envs = args.num_envs or (256 if args.quick else default_envs[args.config])
     steps = args.steps or (30 if args.quick else 200)
     scenarios = args.scenarios or (4 if args.quick else 16)

@@ -95,6 +95,10 @@ class BaseVectorEnv:
                 random_lane_width=False,
                 random_lane_num=False,
                 traffic_density=0.1,
+                # ego spawns on a random entrance lane per episode
+                # (metadrive_env.py:59 random_spawn_lane_index=True;
+                # agent_manager.py:107-112)
+                random_spawn_lane_index=True,
                 traffic_mode="trigger",  # "trigger" | "respawn" | "hybrid" (traffic_manager.py:20-29)
                 # MixedPGTrafficManager: fraction of NPCs driven by the PPO
                 # expert instead of IDM (traffic_manager.py:367-418)
@@ -487,7 +491,18 @@ class BaseVectorEnv:
         scene = self.scene
         E = sidx.shape[0]
         if slot is None:
-            slot = jnp.zeros(E, jnp.int32)
+            if self.config["random_spawn_lane_index"]:
+                # uniform over the scenario's valid spawn slots (= entrance
+                # lanes for single-agent scenes)
+                SLOT = scene.slot_valid.shape[1]
+                keys = jax.vmap(lambda k: jax.random.fold_in(k, 79))(rng)
+                noise = jax.vmap(lambda k: jax.random.uniform(k, (SLOT,)))(keys)
+                score = jnp.where(scene.slot_valid[sidx], noise, -1.0)
+                best = score.max(axis=1)
+                oh = (score == best[:, None]) & (jnp.cumsum(score == best[:, None], axis=1) == 1)
+                slot = (oh * jnp.arange(SLOT)).sum(axis=1).astype(jnp.int32)
+            else:
+                slot = jnp.zeros(E, jnp.int32)
         spawn_lane = scene.slot_lane[sidx, slot]
         long0 = scene.slot_long[sidx, slot]
         g = lane_geom.gather_lane(scene, sidx, spawn_lane)

@@ -273,6 +273,9 @@ class ScenarioEnv:
             active = jnp.where(
                 reactive, spawned & ~state.npc_dead & (unpts > 1), active
             )
+        if self.config["no_traffic"]:
+            # nothing spawns at all (scenario_env.py:44 + manager gate :122)
+            active = jnp.zeros_like(active)
         return pos, heading, active
 
     def _step_npc_reactive(self, state, ego):

@@ -91,3 +91,47 @@ def test_idm_forced_lane_change_on_merge():
     assert (np.asarray(st.npc.lane) != lanes0).any()
     # traffic survives the merge
     assert np.asarray(st.npc.active).sum() > 0
+
+
+def test_random_spawn_lane_index():
+    """metadrive_env.py:59 random_spawn_lane_index=True: the ego spawns on a
+    random entrance lane per episode (agent_manager.py:107-112)."""
+    import numpy as np
+    from metadrive_ped_tpu import MetaDriveEnv
+    env = MetaDriveEnv(dict(num_envs=32, map="S", num_scenarios=1,
+                            traffic_density=0.0))
+    env.reset(seed=0)
+    slots = np.asarray(env._state.ego.slot)
+    assert len(np.unique(slots)) > 1, "spawn lanes should vary across envs"
+    env2 = MetaDriveEnv(dict(num_envs=32, map="S", num_scenarios=1,
+                             traffic_density=0.0, random_spawn_lane_index=False))
+    env2.reset(seed=0)
+    np.testing.assert_array_equal(np.asarray(env2._state.ego.slot), 0)
+
+
+def test_expert_closes_episodes_end_to_end():
+    """Behavioral parity: the reference's released PPO expert checkpoint
+    drives THIS simulator to the destination on a meaningful fraction of
+    episodes (random PG maps + traffic). A loose floor — the bicycle-model
+    divergence from Bullet costs some success — but it catches obs/actuation
+    convention breaks outright (a broken convention scores ~0, as the
+    missing random_spawn_lane_index did on curved maps)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from metadrive_ped_tpu import MetaDriveEnv
+    from metadrive_ped_tpu.policies.expert import expert_action, load_expert_params
+    params = load_expert_params()
+    env = MetaDriveEnv(dict(
+        num_envs=16, map=3, num_scenarios=4, traffic_density=0.05,
+        vehicle_config=dict(lidar=dict(num_lasers=240, num_others=4)),
+        horizon=1000,
+    ))
+    env.reset(seed=0)
+    pol = lambda obs, state: jnp.clip(expert_action(params, obs), -1, 1)
+    outs, _ = env.rollout(600, policy_fn=pol, collect=("terminated", "arrive_dest"))
+    term = np.asarray(outs["terminated"])
+    suc = (term & np.asarray(outs["arrive_dest"])).sum()
+    fin = term.sum()
+    assert fin >= 10, f"expert should finish episodes, finished {fin}"
+    rate = suc / fin
+    assert rate >= 0.3, f"expert success rate collapsed: {rate:.2f} ({suc}/{fin})"

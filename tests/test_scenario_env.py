@@ -218,3 +218,16 @@ def test_saved_dataset_summary_carries_metadata(tmp_path_factory, recorded_scena
     for fname, meta in summary.items():
         assert SD.SUMMARY.NUMBER_SUMMARY in meta
         assert meta["length"] == 40
+
+
+def test_no_traffic_disables_all_tracks(recorded_scenarios):
+    """no_traffic=True spawns nothing (scenario_env.py:44; the traffic
+    manager gate at scenario_traffic_manager-construction :122)."""
+    env = ScenarioEnv(dict(num_envs=2, scenario_data=recorded_scenarios,
+                           no_traffic=True, auto_reset=False))
+    obs, _ = env.reset(seed=0)
+    for _ in range(10):
+        obs, r, te, tr, info = env.step(np.tile([0.0, 0.7], (2, 1)))
+        assert not bool(np.asarray(info["crash_vehicle"]).any())
+        # lidar sees nothing: the cloud stays at 1.0
+        assert float(np.asarray(obs)[:, -120:].min()) > 0.999
