@@ -25,11 +25,16 @@ class _OnceFilter(logging.Filter):
         self._seen = set()
 
     def filter(self, record):
-        key = record.msg
+        # only records that THEMSELVES carry log_once participate in the
+        # dedupe; a plain record with the same format string still passes.
+        # Keyed on (call site, format string) so two files sharing a message
+        # don't suppress each other.
+        if not getattr(record, "log_once", False):
+            return True
+        key = (record.pathname, record.lineno, record.msg)
         if key in self._seen:
             return False
-        if getattr(record, "log_once", False):
-            self._seen.add(key)
+        self._seen.add(key)
         return True
 
     def reset(self):

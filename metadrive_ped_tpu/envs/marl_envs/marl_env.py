@@ -118,6 +118,12 @@ class MultiAgentMetaDrive(MetaDriveEnv):
         E, A = self.num_marl_envs, self.agents_per_env
         take0 = lambda x: self._rows_to_EA(x)[:, 0]
         npc_env = jax.tree_util.tree_map(take0, npc)
+        # trigger release is computed per agent ROW in _step_impl (any agent
+        # entering the trigger road releases the block, traffic_manager.py:
+        # 74-92 checks every ego); OR-reduce over the agent axis so releases
+        # by agents 1..A-1 survive the env canonicalization
+        released_env = self._rows_to_EA(npc.released).any(axis=1)
+        npc_env = npc_env.replace(released=released_env)
         lb_env = None
         if light_block is not None:
             lb_env = tuple(take0(x) for x in light_block)
@@ -128,10 +134,25 @@ class MultiAgentMetaDrive(MetaDriveEnv):
             jnp.ones((E, A), bool),      # corpses keep blocking (delay_done)
         )
         sidx_env = take0(state.sidx)
+        expert_actions = expert_mask = None
+        if self.config["rl_agent_ratio"] > 0:
+            # MixedPGTraffic in MARL: expert NPC obs are assembled against
+            # the agent-0 body as "the ego" (the remaining agents are still
+            # felt through extra_bodies in the IDM gap scan). Documented
+            # approximation, mirrors ops/mixed_traffic.py's single-ego API.
+            from metadrive_ped_tpu.ops import mixed_traffic
+            ego_env = jax.tree_util.tree_map(take0, ego)
+            lidar = self.config["vehicle_config"]["lidar"]
+            expert_actions = mixed_traffic.expert_npc_actions(
+                self.scene, sidx_env, npc_env, ego_env, self._npc_expert_params,
+                num_lasers=lidar["num_lasers"], distance=lidar["distance"],
+            )
+            expert_mask = self.scene.npc_expert[sidx_env]
         npc_env = idm_ops.step_npcs(
             self.scene, sidx_env, npc_env, None, dt=dt, substeps=rep,
             respawn_mode=self.config["traffic_mode"] in ("respawn", "hybrid"),
             light_block=lb_env, extra_bodies=agents,
+            expert_actions=expert_actions, expert_mask=expert_mask,
         )
         return jax.tree_util.tree_map(
             lambda x: jnp.repeat(x, A, axis=0), npc_env

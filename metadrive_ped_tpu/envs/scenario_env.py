@@ -262,7 +262,8 @@ class ScenarioEnv:
             from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M
             unpts = scene.trk_unpts[sidx]
             p_pos, p_heading = polyline.uniform_pose(
-                scene.trk_upath[sidx], unpts, TRK_SPACING_M, state.npc_long
+                scene.trk_upath[sidx], unpts, TRK_SPACING_M, state.npc_long,
+                total=scene.trk_utotal[sidx],
             )
             reactive = scene.trk_reactive_ok[sidx]
             pos = jnp.where(reactive[..., None], p_pos, pos)
@@ -316,7 +317,9 @@ class ScenarioEnv:
         # 20 m probe chain along my own arc (5 points / 4 chords) off the
         # fixed-spacing path: chord index = base + k*(5/spacing), each probe
         # one one-hot contraction (polyline.uniform_point)
-        my_pos, _ = polyline.uniform_pose(upath, unpts, TRK_SPACING_M, state.npc_long)
+        my_pos, _ = polyline.uniform_pose(
+            upath, unpts, TRK_SPACING_M, state.npc_long, total=total
+        )
         base = jnp.floor(state.npc_long / TRK_SPACING_M).astype(jnp.int32)
         step_chords = int(round((IDM_MAX_DIST / 4.0) / TRK_SPACING_M))
         probe = jnp.stack(

@@ -63,6 +63,36 @@ def _resample(line, step=LANE_RESAMPLE_M, max_pts=LANE_MAX_PTS):
     ).astype(np.float32)
 
 
+def _resample_split(line, step=LANE_RESAMPLE_M, max_pts=LANE_MAX_PTS):
+    """Resample a centerline into one or more <=max_pts chunks.
+
+    A single capped resample of a lane longer than (max_pts-1)*step would
+    space points >step apart; on curves the chord sagitta can exceed the
+    lane half-width and polyline.in_band would misclassify an on-lane pose
+    as off-lane (terminating episodes via out_of_road). Chunks overlap by
+    one point so band coverage stays continuous.
+    """
+    d = np.linalg.norm(np.diff(line, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(d)])
+    total = float(s[-1])
+    span = (max_pts - 1) * step
+    if total <= span:
+        return [_resample(line, step, max_pts)]
+    chunks = []
+    n_chunks = int(np.ceil(total / span))
+    bounds = np.linspace(0.0, total, n_chunks + 1)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        n = int(np.clip((hi - lo) // step + 2, 2, max_pts))
+        ss = np.linspace(lo, hi, n)
+        chunks.append(
+            np.stack(
+                [np.interp(ss, s, line[:, 0]), np.interp(ss, s, line[:, 1])],
+                axis=1,
+            ).astype(np.float32)
+        )
+    return chunks
+
+
 def compile_scenario(sd):
     """One ScenarioDescription dict -> flat numpy arrays."""
     T = int(sd[SD.LENGTH])
@@ -166,8 +196,9 @@ def compile_scenario(sd):
             # ScenarioLane per lane feature, scenario_block.py:25-31)
             line = np.asarray(feat.get("polyline", []), np.float32)
             if line.ndim == 2 and len(line) >= 2:
-                lane_pts.append(_resample(line[:, :2]))
-                lane_width.append(float(feat.get("width", LANE_VIS_WIDTH)))
+                for chunk in _resample_split(line[:, :2]):
+                    lane_pts.append(chunk)
+                    lane_width.append(float(feat.get("width", LANE_VIS_WIDTH)))
             continue
         styp = _line_seg_type(ftype)
         if styp is None:

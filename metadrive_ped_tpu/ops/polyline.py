@@ -116,7 +116,7 @@ def total_length(pts, npts, s=None):
     return s[..., -1]
 
 
-def uniform_pose(upath, unpts, spacing, long):
+def uniform_pose(upath, unpts, spacing, long, total=None):
     """Pose at arc length `long` on a FIXED-SPACING chord path.
 
     With uniform chords the containing segment is floor(long/spacing) — one
@@ -124,11 +124,25 @@ def uniform_pose(upath, unpts, spacing, long):
     machinery (arc-length scan + 4 one-hot picks), which profiling showed
     dominating the reactive-traffic step. upath [.., P, 2], unpts [..],
     long [..] -> (pos [.., 2], heading [..]).
+
+    The FINAL chord (built with the end arc clamped to the route total) is
+    shorter than `spacing`; pass `total` (the route arc length, [..]) to
+    renormalize the interpolation fraction there so end-of-route poses land
+    exactly on the recorded endpoint instead of under-advancing by up to one
+    chord.
     """
     P = upath.shape[-2]
     i = jnp.floor(long / spacing).astype(jnp.int32)
     i = jnp.clip(jnp.minimum(i, unpts - 2), 0, P - 2)
     frac = jnp.clip(long / spacing - i, 0.0, 1.0)
+    if total is not None:
+        last_i = jnp.maximum(unpts - 2, 0)
+        last_span = jnp.maximum(total - last_i.astype(total.dtype) * spacing, 1e-6)
+        frac = jnp.where(
+            i == last_i,
+            jnp.clip((long - i.astype(total.dtype) * spacing) / last_span, 0.0, 1.0),
+            frac,
+        )
     ar = jnp.arange(P)
     oh0 = (i[..., None] == ar).astype(upath.dtype)
     oh1 = ((i + 1)[..., None] == ar).astype(upath.dtype)

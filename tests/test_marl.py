@@ -233,6 +233,31 @@ def test_marl_background_traffic_consistent_rows():
     assert (moved[active0] > 1.0).any(), "background NPCs should drive"
 
 
+def test_marl_trigger_release_any_agent_row():
+    """Trigger-mode traffic: a release recorded on ANY agent row survives
+    the per-env canonicalization (OR-reduce over the agent axis) — blocks
+    triggered by agents 1..A-1 must not stay frozen
+    (traffic_manager.py:74-92 checks every ego)."""
+    import jax.numpy as jnp
+    env = MultiAgentRoundaboutEnv(dict(
+        num_envs=1, num_agents=4, traffic_density=0.3, traffic_mode="trigger",
+    ))
+    env.reset(seed=0)
+    N = env.scene.npc_lane.shape[1]
+    assert N > 0
+    st = env._state
+    A = 4
+    # fabricate a release seen only by agent row 2
+    rel = np.asarray(st.npc.released).reshape(1, A, N).copy()
+    rel[:] = False
+    rel[0, 2, :] = True
+    st = st.replace(npc=st.npc.replace(released=jnp.asarray(rel.reshape(A, N))))
+    env._state = st
+    env.step(np.zeros((1, A, 2), np.float32))
+    rel2 = np.asarray(env._state.npc.released).reshape(1, A, N)
+    assert rel2.all(), "row-2 release must propagate to the canonical env copy"
+
+
 def test_marl_same_step_respawns_claim_distinct_slots():
     """spawn_places_used semantics: simultaneous respawns never share a
     slot (spawn_manager.py:160-166)."""
