@@ -19,7 +19,7 @@ from metadrive_ped_tpu.version import VERSION, __version__
 
 __all__ = [
     "MetaDriveEnv", "SafeMetaDriveEnv", "VaryingDynamicsEnv", "MixedTrafficEnv", "createGymWrapper",
-    "ScenarioEnv", "TopDownMetaDrive", "TopDownSingleFrameMetaDriveEnv",
+    "ScenarioEnv", "TopDownMetaDrive", "TopDownMetaDriveEnvV2", "TopDownSingleFrameMetaDriveEnv",
     "MultiAgentMetaDrive", "MultiAgentRoundaboutEnv", "MultiAgentIntersectionEnv",
     "MultiAgentBottleneckEnv", "MultiAgentBidirectionEnv", "MultiAgentTollgateEnv",
     "MultiAgentParkingLotEnv", "MultiAgentRacingEnv",
@@ -35,6 +35,7 @@ _LAZY = {
     "createGymWrapper": (f"{_ENVS}.gym_wrapper", "createGymWrapper"),
     "ScenarioEnv": (f"{_ENVS}.scenario_env", "ScenarioEnv"),
     "TopDownMetaDrive": (f"{_ENVS}.top_down_env", "TopDownMetaDrive"),
+    "TopDownMetaDriveEnvV2": (f"{_ENVS}.top_down_env", "TopDownMetaDriveEnvV2"),
     "TopDownSingleFrameMetaDriveEnv": (f"{_ENVS}.top_down_env", "TopDownSingleFrameMetaDriveEnv"),
     "MultiAgentMetaDrive": (f"{_ENVS}.marl_envs", "MultiAgentMetaDrive"),
     "MultiAgentRoundaboutEnv": (f"{_ENVS}.marl_envs", "MultiAgentRoundaboutEnv"),

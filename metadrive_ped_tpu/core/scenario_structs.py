@@ -96,6 +96,8 @@ class ScenarioSimState:
     step_count: jnp.ndarray
     episode_reward: jnp.ndarray
     episode_cost: jnp.ndarray
+    scenario_cap: jnp.ndarray  # [E] auto-reset sidx bound (traced; see
+                               # core/structs.py SimState.scenario_cap)
     ego: EgoState              # route_idx/slot/lane unused on this path
     last_long: jnp.ndarray     # [E] trajectory longitude at t-1
     cur_long: jnp.ndarray      # [E]

@@ -218,6 +218,11 @@ class SimState:
     episode_cost: jnp.ndarray    # [E]
     episode_energy: jnp.ndarray  # [E] fuel use in mL (base_vehicle.py:259-271)
     dead_timer: jnp.ndarray      # [E] MARL delay-done countdown (0 = alive)
+    scenario_cap: jnp.ndarray    # [E] auto-reset samples sidx in [0, cap) —
+                                 # a TRACED value so curriculum level-ups
+                                 # never trigger a recompile (the reference
+                                 # narrows the band via engine re-seed,
+                                 # scenario_curriculum_manager.py:38-84)
     aux: jnp.ndarray             # [E, 4] env-family-specific counters
                                  # (e.g. tollgate stay time); zeroed on spawn
     policy_state: jnp.ndarray    # [E, 4] agent-policy PID/latch state

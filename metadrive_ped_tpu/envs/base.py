@@ -253,6 +253,7 @@ class BaseVectorEnv:
         self._state = None
         self._step_jit = jax.jit(functools.partial(self._step_impl), donate_argnums=0)
         self._reset_jit = jax.jit(functools.partial(self._reset_impl))
+        self._reset_jit_cap = self.num_scenarios
         self._img_stack = None
         if cfg["image_observation"]:
             self._render_jit = jax.jit(self._render_frame)
@@ -554,6 +555,7 @@ class BaseVectorEnv:
             episode_reward=zeros, episode_cost=zeros, episode_energy=zeros,
             dead_timer=jnp.zeros(E, jnp.int32), aux=jnp.zeros((E, 4)),
             policy_state=jnp.zeros((E, 4)),
+            scenario_cap=jnp.full((E,), self.num_scenarios, jnp.int32),
             ego=ego, npc=npc, ped=ped,
         )
 
@@ -987,9 +989,10 @@ class BaseVectorEnv:
         if cfg["auto_reset"]:
             new_keys = jax.vmap(jax.random.split)(state.rng)      # [E,2,2]
             step_rng, reset_rng = new_keys[:, 0], new_keys[:, 1]
+            cap = state.scenario_cap  # traced: level-up = host-side swap
             new_sidx = jax.vmap(
-                lambda k: jax.random.randint(k, (), 0, self.num_scenarios)
-            )(step_rng)
+                lambda k, c: jax.random.randint(k, (), 0, c)
+            )(step_rng, cap)
             fresh = self._spawn(reset_rng, new_sidx)
             state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
@@ -997,6 +1000,9 @@ class BaseVectorEnv:
                 ),
                 fresh, state.replace(rng=step_rng),
             )
+            # _spawn bakes the compile-time cap; keep the live (possibly
+            # curriculum-narrowed) one
+            state = state.replace(scenario_cap=cap)
             ego_long = jnp.where(done, 5.0, loc["long"])
             ego_lat = jnp.where(done, 0.0, loc["lat"])
         else:

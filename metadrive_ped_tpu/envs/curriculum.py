@@ -50,11 +50,14 @@ class CurriculumWrapper:
 
     def reset(self, seed=0):
         self._apply_level()
-        # rebuild jit closures that captured num_scenarios
-        self.env._reset_jit = None
-        import jax
-        self.env._reset_jit = jax.jit(self.env._reset_impl)
-        self.env._step_jit = jax.jit(self.env._step_impl, donate_argnums=0)
+        # only the full-reset closure bakes num_scenarios as a constant;
+        # rebuild it iff the band changed since it was traced. The step
+        # closure reads the band from state.scenario_cap (traced) and never
+        # needs a rebuild.
+        if getattr(self.env, "_reset_jit_cap", None) != self.env.num_scenarios:
+            import jax
+            self.env._reset_jit = jax.jit(self.env._reset_impl)
+            self.env._reset_jit_cap = self.env.num_scenarios
         return self.env.reset(seed)
 
     def step(self, actions):
@@ -71,6 +74,9 @@ class CurriculumWrapper:
         return obs, r, term, trunc, info
 
     def level_up(self):
+        """Widen the sampling band WITHOUT recompiling: the auto-reset
+        inside the jitted step samples sidx in [0, state.scenario_cap), so
+        leveling up is a host-side integer swap on the live state."""
         from metadrive_ped_tpu.core.logger import get_logger
         self.level += 1
         get_logger().info(
@@ -79,9 +85,11 @@ class CurriculumWrapper:
         )
         self._recent = deque(maxlen=self._episodes_to_eval)
         self._apply_level()
-        import jax
-        self.env._reset_jit = jax.jit(self.env._reset_impl)
-        self.env._step_jit = jax.jit(self.env._step_impl, donate_argnums=0)
+        state = getattr(self.env, "_state", None)
+        if state is not None:
+            import jax.numpy as jnp
+            cap = jnp.full_like(state.scenario_cap, self.band * (self.level + 1))
+            self.env._state = state.replace(scenario_cap=cap)
 
     def __getattr__(self, name):
         return getattr(self.env, name)

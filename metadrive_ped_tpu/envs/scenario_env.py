@@ -139,6 +139,7 @@ class ScenarioEnv:
         self._state = None
         self._step_jit = jax.jit(self._step_impl, donate_argnums=0)
         self._reset_jit = jax.jit(self._reset_impl)
+        self._reset_jit_cap = self.num_scenarios
 
     # ------------------------------------------------------------------ API
     @property
@@ -225,7 +226,8 @@ class ScenarioEnv:
         TRK = scene.max_tracks
         return ScenarioSimState(
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
-            episode_reward=zeros, episode_cost=zeros, ego=ego,
+            episode_reward=zeros, episode_cost=zeros,
+            scenario_cap=jnp.full((E,), self.num_scenarios, jnp.int32), ego=ego,
             last_long=zeros, cur_long=zeros, cur_lat=zeros,
             npc_long=jnp.zeros((E, TRK)), npc_speed=jnp.zeros((E, TRK)),
             npc_acc=jnp.zeros((E, TRK)), npc_dead=jnp.zeros((E, TRK), bool),
@@ -417,7 +419,18 @@ class ScenarioEnv:
                 seg_line & scene.seg_valid[sidx],
             )
         else:
-            side = jnp.ones((E, 2))
+            # side detector off -> normalized lateral distances to the SDC
+            # route's left/right borders (state_obs.py:90-98 fallback with
+            # TrajectoryNavigation: lane = the width-2 idm route,
+            # parse_object_state.py:19; lateral range = 2*width,
+            # trajectory_navigation.py:148-152; normalized by
+            # (MAX_LANE_NUM+1)*MAX_LANE_WIDTH = 18, base_map.py:38-40)
+            route_w = 2.0
+            lat_to_left = lat + route_w / 2.0
+            lat_to_right = 2.0 * route_w - lat_to_left
+            side = jnp.stack(
+                [clip01(lat_to_left / 18.0), clip01(lat_to_right / 18.0)], axis=-1
+            )
 
         # --- ego core (state_obs.py:100-151) -------------------------------
         hv = heading_vec(ego.heading)
@@ -668,12 +681,13 @@ class ScenarioEnv:
         if cfg["auto_reset"]:
             new_keys = jax.vmap(jax.random.split)(state.rng)
             step_rng, reset_rng = new_keys[:, 0], new_keys[:, 1]
+            cap = state.scenario_cap  # traced: level-up = host-side swap
             if cfg["sequential_seed"]:
-                new_sidx = (state.sidx + 1) % self.num_scenarios
+                new_sidx = (state.sidx + 1) % cap
             else:
                 new_sidx = jax.vmap(
-                    lambda k: jax.random.randint(k, (), 0, self.num_scenarios)
-                )(step_rng)
+                    lambda k, c: jax.random.randint(k, (), 0, c)
+                )(step_rng, cap)
             fresh = self._spawn(reset_rng, new_sidx)
             state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
@@ -681,6 +695,7 @@ class ScenarioEnv:
                 ),
                 fresh, state.replace(rng=step_rng),
             )
+            state = state.replace(scenario_cap=cap)
             # refresh the cached obs inputs for re-spawned rows: spawn sits at
             # arc length 0 of the new sdc trajectory; tracks are at t=0 (a
             # flat row gather at the scenario's first frame)

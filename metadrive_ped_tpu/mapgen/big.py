@@ -42,12 +42,14 @@ class BIG:
         self.blocks = [FirstPGBlock(global_network, lane_width, lane_num, length=exit_length)]
         self.next_step = NextStep.forward
 
-        # Redistribute probability mass of not-yet-ported block types over the
-        # implemented ones (documented divergence; see blocks.py).
-        names = [n for n in BLOCK_DIST_V2 if n in BLOCK_NAME_TO_CLASS]
-        probs = np.array([BLOCK_DIST_V2[n] for n in names], dtype=np.float64)
+        # Every type in the v2 distribution must be registered — a missing
+        # class would silently skew the type-choice RNG stream and break
+        # seed parity, so fail loudly instead of renormalizing.
+        missing = [n for n in BLOCK_DIST_V2 if n not in BLOCK_NAME_TO_CLASS]
+        assert not missing, f"unregistered distribution block types: {missing}"
+        names = list(BLOCK_DIST_V2)
         self._block_names = names
-        self._block_probs = probs / probs.sum()
+        self._block_probs = np.array([BLOCK_DIST_V2[n] for n in names], dtype=np.float64)
 
     def generate(self, generate_method, parameter):
         if generate_method == BigGenerateMethod.BLOCK_NUM:
@@ -92,10 +94,25 @@ class BIG:
             self.np_random.randint(0, 10000),
         )
 
+    # lane-count sanity bounds (reference BIG.construct, BIG.py:122-127 +
+    # blocks_prob_dist.py:2-3)
+    MIN_LANE_NUM = 1
+    MAX_LANE_NUM = 5
+
+    def _construct(self, block):
+        ok = block.construct()
+        lane_num = max(
+            len(socket.get_positive_lanes(self._global_network))
+            for socket in block.get_socket_list()
+        ) if block.get_socket_list() else 0
+        if lane_num < self.MIN_LANE_NUM or lane_num > self.MAX_LANE_NUM:
+            ok = False
+        return ok
+
     def _forward(self):
         block = self.sample_block()
         self.blocks.append(block)
-        ok = block.construct()
+        ok = self._construct(block)
         self.next_step = NextStep.forward if ok else NextStep.destruct_current
 
     def _destruct_current(self):
@@ -111,7 +128,7 @@ class BIG:
             self.next_step = NextStep.forward
             return
         if block.number_of_sample_trial < self.MAX_TRIAL:
-            ok = block.construct()
+            ok = self._construct(block)
             self.next_step = NextStep.forward if ok else NextStep.destruct_current
         else:
             self.next_step = NextStep.back

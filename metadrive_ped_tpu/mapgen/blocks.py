@@ -71,19 +71,30 @@ def _offset_lane(cur, direction):
     )
 
 
-def create_road_from(lane, lane_num, road, block_network, side_line_type=LINE_SIDE,
-                     center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_BROKEN,
-                     toward_smaller_lane_index=True, center_line_color=LINE_COLOR_YELLOW):
+def create_road_from(lane, lane_num, road, block_network, roadnet_to_check_cross=None,
+                     side_line_type=LINE_SIDE, center_line_type=LINE_CONTINUOUS,
+                     inner_line_type=LINE_BROKEN, toward_smaller_lane_index=True,
+                     center_line_color=LINE_COLOR_YELLOW, ignore_start=None,
+                     ignore_end=None, detect_one_side=True,
+                     ignore_intersection_checking=False):
     """Clone ``lane`` laterally into lane_num lanes on ``road``.
 
-    Geometry matches CreateRoadFrom (create_pg_block_utils.py:50-176).
-    toward_smaller_lane_index=True: the given lane becomes the LAST index
-    (rightmost); clones stack leftward; lane 0 carries the center line on its
-    left, the given lane the side line on its right. False: the given lane is
-    index 0 and clones stack rightward. Collision checking
-    (check_lane_on_road) is skipped here -- overlap rejection happens in the
-    BIG FSM via polyline tests.
+    Geometry and overlap checking match CreateRoadFrom
+    (create_pg_block_utils.py:50-176). toward_smaller_lane_index=True: the
+    given lane becomes the LAST index (rightmost); clones stack leftward;
+    lane 0 carries the center line on its left, the given lane the side line
+    on its right. False: the given lane is index 0 and clones stack
+    rightward.
+
+    When ``roadnet_to_check_cross`` (the previously merged global network)
+    is given and checking is not disabled, returns the reference's no_cross
+    verdict: the origin lane sampled at the sidewalk-padded lateral factor
+    (and, with detect_one_side=False, lanes[0] at -0.95) must not land on
+    any existing lane (overlap.check_lane_on_road, the exact port of
+    utils/pg/utils.py:37-72). Without a check network, returns True.
     """
+    lane_width = lane.width_at(0)
+    origin_lane = lane
     lanes = [lane]
     cur = lane
     for i in range(lane_num - 1, 0, -1):
@@ -102,17 +113,47 @@ def create_road_from(lane, lane_num, road, block_network, side_line_type=LINE_SI
         lane.line_types = [inner_line_type if lane_num > 1 else center_line_type, side_line_type]
     elif lane_num > 1:
         lane.line_types = [lane.line_types[0], lanes[-1].line_types[0]]
-    # center-line color on lane 0's left line (create_pg_block_utils.py:174)
-    lanes[0].line_colors = [center_line_color, LINE_COLOR_GREY]
+
+    # overlap rejection at the reference call site
+    # (create_pg_block_utils.py:136-167)
+    no_cross = True
+    if roadnet_to_check_cross is not None and not ignore_intersection_checking:
+        from metadrive_ped_tpu.mapgen.overlap import (
+            SIDEWALK_LINE_DIST, SIDEWALK_WIDTH, check_lane_on_road
+        )
+        ignore = (ignore_start, ignore_end)
+        factor = (SIDEWALK_WIDTH + SIDEWALK_LINE_DIST + lane_width / 2.0) * 2.0 / lane_width
+        if not detect_one_side:
+            no_cross = not (
+                check_lane_on_road(roadnet_to_check_cross, origin_lane, factor,
+                                   ignore, ignore_intersection_checking=False)
+                or check_lane_on_road(roadnet_to_check_cross, lanes[0], -0.95,
+                                      ignore, ignore_intersection_checking=False)
+            )
+        else:
+            no_cross = not check_lane_on_road(
+                roadnet_to_check_cross, origin_lane, factor, ignore,
+                ignore_intersection_checking=False,
+            )
+
     for l in lanes:
         block_network.add_lane(road.start_node, road.end_node, l)
-    return True
+    # single-lane roads carry center + side lines in BOTH stacking
+    # directions (create_pg_block_utils.py:171-172)
+    if lane_num == 1:
+        lanes[-1].line_types = [center_line_type, side_line_type]
+    # center-line color on lane 0's left line (create_pg_block_utils.py:174)
+    lanes[0].line_colors = [center_line_color, LINE_COLOR_GREY]
+    return no_cross
 
 
-def create_adverse_road(positive_road, block_network, side_line_type=LINE_SIDE,
-                        center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_BROKEN,
-                        center_line_color=LINE_COLOR_YELLOW):
-    """Mirror of CreateAdverseRoad (create_pg_block_utils.py:203-260)."""
+def create_adverse_road(positive_road, block_network, roadnet_to_check_cross=None,
+                        side_line_type=LINE_SIDE, center_line_type=LINE_CONTINUOUS,
+                        inner_line_type=LINE_BROKEN, center_line_color=LINE_COLOR_YELLOW,
+                        ignore_start=None, ignore_end=None,
+                        ignore_intersection_checking=False):
+    """Mirror of CreateAdverseRoad (create_pg_block_utils.py:203-282),
+    including the no_cross verdict from the inner create_road_from."""
     adverse = -positive_road
     lanes = positive_road.get_lanes(block_network)
     reference_lane = lanes[-1]
@@ -134,9 +175,11 @@ def create_adverse_road(positive_road, block_network, side_line_type=LINE_SIDE,
             new_clockwise, width, list(reference_lane.line_types)
         )
     return create_road_from(
-        symmetric, len(lanes), adverse, block_network,
+        symmetric, len(lanes), adverse, block_network, roadnet_to_check_cross,
         side_line_type=side_line_type, center_line_type=center_line_type,
         inner_line_type=inner_line_type, center_line_color=center_line_color,
+        ignore_start=ignore_start, ignore_end=ignore_end,
+        ignore_intersection_checking=ignore_intersection_checking,
     )
 
 
@@ -197,6 +240,15 @@ class PGBlock:
         self.remove_negative_lanes = False
         self.center_line_override = None
         self.side_line_override = None
+        # when True, every check_lane_on_road call is skipped (the path the
+        # reference's config-built maps take, pg_map.py:92-103); BIG sampling
+        # always runs with checking ON (BIG.py:114 ignore=False)
+        self.ignore_intersection_checking = False
+        # BaseRunnable.__init__ samples the parameter space once at
+        # construction (base_runnable.py:26) — that config is immediately
+        # re-sampled by construct_block, but the randint it consumes shifts
+        # the block's np_random stream; replicate the draw for seed parity
+        self.sample_parameters()
 
     # -- naming ------------------------------------------------------------
     def set_part_idx(self, idx):
@@ -251,20 +303,21 @@ class PGBlock:
         self.config = {k: space.sample_from_u(u) for k, space in self.PARAMETER_SPACE.items()}
 
     def construct(self, config=None, check_overlap=True):
-        """Sample + build + merge into the global network; returns success."""
+        """Sample + build + merge into the global network; returns the
+        no_cross success verdict (reference construct_block,
+        base_block.py:95-130: topology is merged into the global network
+        REGARDLESS of success — the BIG FSM destructs failed blocks)."""
         self.number_of_sample_trial += 1
         self.sample_parameters()
         if config:
             self.config.update(config)
+        self.ignore_intersection_checking = not check_overlap
         self.block_network = NodeRoadNetwork()
         self._sockets = OrderedDict()
         self._respawn_roads = []
         self._node_cnt = 0
         ok = self._try_plug_into_previous_block()
-        if ok and check_overlap:
-            ok = not self._intersects_existing()
-        if ok:
-            self.global_network.add(self.block_network)
+        self.global_network.add(self.block_network)
         return ok
 
     def destruct(self):
@@ -313,41 +366,28 @@ class PGBlock:
     def _try_plug_into_previous_block(self):
         raise NotImplementedError
 
-    # -- cheap polyline overlap rejection (replaces Bullet-based
-    #    check_lane_on_road, utils/pg/utils.py:37-72) -----------------------
-    def _centerline_points(self, network, spacing=6.0):
-        pts = []
-        for start, ends in network.graph.items():
-            for end, lanes in ends.items():
-                for lane in lanes:
-                    n = max(2, int(lane.length / spacing))
-                    for i in range(n + 1):
-                        pts.append(lane.position(lane.length * i / n, 0.0))
-        return np.asarray(pts) if pts else np.zeros((0, 2))
+    def _cross_kwargs(self, **extra):
+        """kwargs wiring a create_road_from/create_adverse_road call to the
+        reference's cross-check site (roadnet_to_check_cross =
+        self._global_network, e.g. straight.py:33-52)."""
+        kw = dict(
+            roadnet_to_check_cross=self.global_network,
+            ignore_intersection_checking=self.ignore_intersection_checking,
+        )
+        kw.update(extra)
+        return kw
 
-    def _intersects_existing(self):
-        """True if the new block's lanes run over existing drivable area."""
-        new_pts = self._centerline_points(self.block_network)
-        if len(new_pts) == 0:
-            return False
-        old_pts = self._centerline_points(self.global_network)
-        if len(old_pts) == 0:
-            return False
-        # Ignore points near the shared socket junction (both directions —
-        # wide blocks attach adverse lanes far from the positive road).
-        joint = self.pre_block_socket.positive_road.get_lanes(self.global_network)
-        try:
-            joint = joint + self.pre_block_socket.negative_road.get_lanes(self.global_network)
-        except KeyError:
-            pass  # sockets without an adverse twin
-        joint_pos = np.asarray([l.end for l in joint] + [l.start for l in joint])
-        d2 = ((new_pts[:, None, :] - old_pts[None, :, :]) ** 2).sum(-1)
-        near = d2.min(axis=1) < 2.0 ** 2
-        if not near.any():
-            return False
-        near_pts = new_pts[near]
-        dj = ((near_pts[:, None, :] - joint_pos[None, :, :]) ** 2).sum(-1).min(axis=1)
-        return bool((dj > 25.0 ** 2).any())
+    def _check_lane(self, lane, positive):
+        """not check_lane_on_road(global, lane, positive) — the explicit
+        sample-test call sites inside intersection/ramp construction
+        (intersection.py:137-141, ramp.py:131-194, 307-370)."""
+        from metadrive_ped_tpu.mapgen.overlap import check_lane_on_road
+        if self.ignore_intersection_checking:
+            return True
+        return not check_lane_on_road(
+            self.global_network, lane, positive,
+            ignore_intersection_checking=False,
+        )
 
 
 class FirstPGBlock(PGBlock):
@@ -410,12 +450,18 @@ class Straight(PGBlock):
         start = self.pre_block_socket.positive_road.end_node
         end = self.add_road_node()
         socket_road = Road(start, end)
-        create_road_from(new_lane, self.positive_lane_num, socket_road, self.block_network,
-                         center_line_type=center, side_line_type=side)
+        # no_cross wiring mirrors straight.py:33-55
+        no_cross = create_road_from(
+            new_lane, self.positive_lane_num, socket_road, self.block_network,
+            center_line_type=center, side_line_type=side, **self._cross_kwargs()
+        )
         if not self.remove_negative_lanes:
-            create_adverse_road(socket_road, self.block_network)
+            no_cross = create_adverse_road(
+                socket_road, self.block_network,
+                center_line_type=center, side_line_type=side, **self._cross_kwargs()
+            ) and no_cross
         self.add_sockets(PGBlockSocket(socket_road, -socket_road))
-        return True
+        return no_cross
 
 
 class Curve(PGBlock):
@@ -444,21 +490,32 @@ class Curve(PGBlock):
             width=basic_lane.width,
             line_types=[LINE_BROKEN, side],
         )
-        create_road_from(curve, lane_num, positive_road, self.block_network,
-                         center_line_type=center, side_line_type=side)
+        # no_cross wiring mirrors curve.py:44-90
+        no_cross = create_road_from(
+            curve, lane_num, positive_road, self.block_network,
+            center_line_type=center, side_line_type=side, **self._cross_kwargs()
+        )
         if not self.remove_negative_lanes:
-            create_adverse_road(positive_road, self.block_network)
+            no_cross = create_adverse_road(
+                positive_road, self.block_network,
+                center_line_type=center, side_line_type=side, **self._cross_kwargs()
+            ) and no_cross
 
         start_node = end_node
         end_node = self.add_road_node()
         positive_road2 = Road(start_node, end_node)
-        create_road_from(straight, lane_num, positive_road2, self.block_network,
-                         center_line_type=center, side_line_type=side)
+        no_cross = create_road_from(
+            straight, lane_num, positive_road2, self.block_network,
+            center_line_type=center, side_line_type=side, **self._cross_kwargs()
+        ) and no_cross
         if not self.remove_negative_lanes:
-            create_adverse_road(positive_road2, self.block_network)
+            no_cross = create_adverse_road(
+                positive_road2, self.block_network,
+                center_line_type=center, side_line_type=side, **self._cross_kwargs()
+            ) and no_cross
 
         self.add_sockets(self.create_socket_from_positive_road(positive_road2))
-        return True
+        return no_cross
 
 
 class InterSection(PGBlock):
@@ -486,29 +543,39 @@ class InterSection(PGBlock):
             [self.road_node(0, 0), self.road_node(1, 0), self.road_node(2, 0), _attach_road.start_node]
         )
         lane_num = self.positive_lane_num
+        no_cross = True  # wiring mirrors intersection.py:64-100
         for i in range(4):
-            right_lane = self._create_part(attach_lanes, attach_road, radius, intersect_nodes, i)
+            right_lane, success = self._create_part(
+                attach_lanes, attach_road, radius, intersect_nodes, i
+            )
+            no_cross = no_cross and success
             if right_lane is None:
                 return False
             if i != 3:
                 exit_road = Road(self.road_node(i, 0), self.road_node(i, 1))
-                create_road_from(right_lane, lane_num, exit_road, self.block_network)
-                create_adverse_road(exit_road, self.block_network)
+                no_cross = create_road_from(
+                    right_lane, lane_num, exit_road, self.block_network,
+                    **self._cross_kwargs()
+                ) and no_cross
+                no_cross = create_adverse_road(
+                    exit_road, self.block_network, **self._cross_kwargs()
+                ) and no_cross
                 socket = PGBlockSocket(exit_road, -exit_road)
                 self.add_respawn_roads(socket.negative_road)
                 self.add_sockets(socket)
                 attach_road = -exit_road
                 attach_lanes = attach_road.get_lanes(self.block_network)
-        return True
+        return no_cross
 
     def _create_part(self, attach_lanes, attach_road, radius, intersect_nodes, part_idx):
         lane_num = self.positive_lane_num
         width = self.lane_width
         attach_left_lane = attach_lanes[0]
         if not isinstance(attach_left_lane, HostStraightLane):
-            return None
+            return None, False
 
-        # left-turn connector (intersection.py:167-230, diff==0 branch)
+        # left-turn connector (intersection.py:167-230, diff==0 branch);
+        # its create-road verdict is DROPPED by the reference (:210-222)
         exit_part_length = self.config.get("exit_part_length", self.EXIT_PART_LENGTH)
         left_turn_radius = radius + lane_num * width
         left_bend, _ = create_bend_straight(
@@ -519,6 +586,7 @@ class InterSection(PGBlock):
             left_bend, lane_num, Road(attach_road.end_node, intersect_nodes[2]),
             self.block_network, toward_smaller_lane_index=False,
             center_line_type=LINE_NONE, side_line_type=LINE_NONE, inner_line_type=LINE_NONE,
+            **self._cross_kwargs()
         )
 
         # straight-through lanes (intersection.py:118-127)
@@ -527,20 +595,24 @@ class InterSection(PGBlock):
             nxt = extend_straight_lane(l, straight_len, [LINE_NONE, LINE_NONE])
             self.block_network.add_lane(attach_road.end_node, intersect_nodes[1], nxt)
 
-        # right-turn connector + exit straight (intersection.py:129-160)
+        # right-turn connector + exit straight (intersection.py:129-160):
+        # only the explicit right_bend sample test (positive=1) feeds the
+        # part's verdict (:136-141); the create-road result is dropped
         right_turn_lane = attach_lanes[-1]
         right_bend, right_straight = create_bend_straight(
             right_turn_lane, exit_part_length, radius,
             math.radians(self.ANGLE), True, width, [LINE_NONE, LINE_SIDE]
         )
+        non_cross = self._check_lane(right_bend, 1)
         create_road_from(
             right_bend, lane_num, Road(attach_road.end_node, intersect_nodes[0]),
             self.block_network, toward_smaller_lane_index=True,
             side_line_type=LINE_SIDE, inner_line_type=LINE_NONE, center_line_type=LINE_NONE,
+            **self._cross_kwargs()
         )
         intersect_nodes.rotate(-1)
         right_straight.line_types = [LINE_BROKEN, LINE_SIDE]
-        return right_straight
+        return right_straight, non_cross
 
     def get_socket(self, index):
         socket = super().get_socket(index)
@@ -628,17 +700,21 @@ class Roundabout(PGBlock):
         attach_road = self.pre_block_socket.positive_road
         if not isinstance(attach_road.get_lanes(self.global_network)[0], HostStraightLane):
             return False
+        no_cross = True  # wiring mirrors roundabout.py:30-46
         for i in range(4):
-            exit_road = self._create_circular_part(
+            exit_road, success = self._create_circular_part(
                 attach_road, i,
                 self.config[Parameter.radius_exit], self.config[Parameter.radius_inner],
                 self.config[Parameter.angle],
             )
+            no_cross = no_cross and success
             if i < 3:
-                create_adverse_road(exit_road, self.block_network)
+                no_cross = create_adverse_road(
+                    exit_road, self.block_network, **self._cross_kwargs()
+                ) and no_cross
                 attach_road = -exit_road
         self.add_respawn_roads([s.negative_road for s in self.get_socket_list()])
-        return True
+        return no_cross
 
     def _create_circular_part(self, road, part_idx, radius_exit, radius_inner, angle):
         self.set_part_idx(part_idx)
@@ -654,7 +730,14 @@ class Roundabout(PGBlock):
         bend, straight = create_bend_straight(
             right_lane, 10.0, radius_exit, math.radians(angle), True, width, [LINE_BROKEN, LINE_SIDE]
         )
-        create_road_from(bend, lane_num, Road(seg_start, seg_end), self.block_network)
+        # the entry ignores the PREVIOUS part's entry road — quirk preserved:
+        # the reference builds the ignore pair from the same node twice
+        # (roundabout.py:66-67), so the ignore never matches a real road
+        ignore_node = self.road_node((part_idx + 3) % 4, 0)
+        none_cross = create_road_from(
+            bend, lane_num, Road(seg_start, seg_end), self.block_network,
+            ignore_start=ignore_node, ignore_end=ignore_node, **self._cross_kwargs()
+        )
         for k, lane in enumerate(Road(seg_start, seg_end).get_lanes(self.block_network)):
             lane.line_types = [LINE_NONE, LINE_SIDE] if k == lane_num - 1 else [LINE_NONE, LINE_NONE]
 
@@ -664,7 +747,10 @@ class Roundabout(PGBlock):
             tool, 10.0, radius_big, math.radians(2 * angle - 90), False, width, [LINE_BROKEN, LINE_SIDE]
         )
         seg_start, seg_end = seg_end, self.add_road_node()  # node 1
-        create_road_from(bend2, lane_num, Road(seg_start, seg_end), self.block_network)
+        none_cross = create_road_from(
+            bend2, lane_num, Road(seg_start, seg_end), self.block_network,
+            **self._cross_kwargs()
+        ) and none_cross
         self._spawn_segments.append(Road(seg_start, seg_end).get_lanes(self.block_network))
 
         # exit curve off the ring (roundabout.py:110-133)
@@ -675,7 +761,10 @@ class Roundabout(PGBlock):
         )
         seg_start = seg_end
         seg_end = self.add_road_node() if part_idx < 3 else self.pre_block_socket.negative_road.start_node  # node 2
-        create_road_from(bend3, lane_num, Road(seg_start, seg_end), self.block_network)
+        none_cross = create_road_from(
+            bend3, lane_num, Road(seg_start, seg_end), self.block_network,
+            **self._cross_kwargs()
+        ) and none_cross
         for k, lane in enumerate(Road(seg_start, seg_end).get_lanes(self.block_network)):
             lane.line_types = [LINE_NONE, LINE_SIDE] if k == lane_num - 1 else [LINE_NONE, LINE_NONE]
 
@@ -683,7 +772,10 @@ class Roundabout(PGBlock):
         exit_start, exit_end = seg_end, self.add_road_node()  # node 3
         if part_idx < 3:
             exit_road = Road(exit_start, exit_end)
-            create_road_from(straight3, lane_num, exit_road, self.block_network)
+            none_cross = create_road_from(
+                straight3, lane_num, exit_road, self.block_network,
+                **self._cross_kwargs()
+            ) and none_cross
             self.add_sockets(self.create_socket_from_positive_road(exit_road))
 
         # closing ring arc to the next part's entry (roundabout.py:151-177)
@@ -694,13 +786,15 @@ class Roundabout(PGBlock):
         bend4, _ = create_bend_straight(
             tool, 5.0, radius_this, math.radians(180 - 2 * angle), False, width, [LINE_BROKEN, LINE_SIDE]
         )
-        create_road_from(bend4, lane_num, seg_road, self.block_network)
+        # closing-arc verdict is dropped by the reference (roundabout.py:172)
+        create_road_from(bend4, lane_num, seg_road, self.block_network,
+                         **self._cross_kwargs())
         for k, lane in enumerate(seg_road.get_lanes(self.block_network)):
             if k == 0:
                 lane.line_types = [LINE_CONTINUOUS, LINE_BROKEN if lane_num > 1 else LINE_NONE]
             else:
                 lane.line_types = [LINE_BROKEN, LINE_BROKEN]
-        return Road(exit_start, exit_end)
+        return Road(exit_start, exit_end), none_cross
 
     def get_socket(self, index):
         socket = super().get_socket(index)
@@ -747,21 +841,33 @@ class InRampOnStraight(Ramp):
             self.positive_basic_lane, longitude_len + self.EXTRA_PART, [LINE_BROKEN, LINE_CONTINUOUS]
         )
         extend_road = Road(self.pre_block_socket.positive_road.end_node, self.add_road_node())
-        create_road_from(extend_lane, lane_num, extend_road, self.block_network,
-                         side_line_type=LINE_CONTINUOUS)
+        # no_cross wiring mirrors ramp.py:44-97
+        no_cross = create_road_from(
+            extend_lane, lane_num, extend_road, self.block_network,
+            side_line_type=LINE_CONTINUOUS, **self._cross_kwargs()
+        )
         extend_road.get_lanes(self.block_network)[-1].line_types = [
             LINE_BROKEN if lane_num != 1 else LINE_CONTINUOUS, LINE_CONTINUOUS
         ]
-        create_adverse_road(extend_road, self.block_network)
+        no_cross = create_adverse_road(
+            extend_road, self.block_network, **self._cross_kwargs()
+        ) and no_cross
+        (-extend_road).get_lanes(self.block_network)[-1].line_types = [
+            LINE_NONE if lane_num == 1 else LINE_BROKEN, LINE_SIDE
+        ]
 
         # acceleration-lane section
         acc_side_lane = extend_straight_lane(
             extend_lane, acc_lane_len + width, [extend_lane.line_types[0], LINE_SIDE]
         )
         acc_road = Road(extend_road.end_node, self.add_road_node())
-        create_road_from(acc_side_lane, lane_num, acc_road, self.block_network,
-                         side_line_type=LINE_CONTINUOUS)
-        create_adverse_road(acc_road, self.block_network)
+        no_cross = create_road_from(
+            acc_side_lane, lane_num, acc_road, self.block_network,
+            side_line_type=LINE_CONTINUOUS, **self._cross_kwargs()
+        ) and no_cross
+        no_cross = create_adverse_road(
+            acc_road, self.block_network, **self._cross_kwargs()
+        ) and no_cross
         acc_road.get_lanes(self.block_network)[-1].line_types = [
             LINE_CONTINUOUS if lane_num == 1 else LINE_BROKEN, LINE_BROKEN
         ]
@@ -769,9 +875,13 @@ class InRampOnStraight(Ramp):
         # socket section
         socket_side_lane = extend_straight_lane(acc_side_lane, self.SOCKET_LEN, acc_side_lane.line_types)
         socket_road = Road(acc_road.end_node, self.add_road_node())
-        create_road_from(socket_side_lane, lane_num, socket_road, self.block_network,
-                         side_line_type=LINE_CONTINUOUS)
-        create_adverse_road(socket_road, self.block_network)
+        no_cross = create_road_from(
+            socket_side_lane, lane_num, socket_road, self.block_network,
+            side_line_type=LINE_CONTINUOUS, **self._cross_kwargs()
+        ) and no_cross
+        no_cross = create_adverse_road(
+            socket_road, self.block_network, **self._cross_kwargs()
+        ) and no_cross
         self.add_sockets(self.create_socket_from_positive_road(socket_road))
 
         # the ramp itself (part 1): straight entry, two bends, acc lane
@@ -783,6 +893,7 @@ class InRampOnStraight(Ramp):
                                          speed_limit=self.SPEED_LIMIT)
         straight_road = Road(self.add_road_node(), self.add_road_node())
         self.block_network.add_lane(straight_road.start_node, straight_road.end_node, straight_part)
+        no_cross = self._check_lane(straight_part, 0.95) and no_cross  # ramp.py:131-138
         self.add_respawn_roads(straight_road)
 
         bend_1, connect_part = create_bend_straight(
@@ -793,6 +904,8 @@ class InRampOnStraight(Ramp):
         connect_road = Road(bend_1_road.end_node, self.add_road_node())
         self.block_network.add_lane(bend_1_road.start_node, bend_1_road.end_node, bend_1)
         self.block_network.add_lane(connect_road.start_node, connect_road.end_node, connect_part)
+        no_cross = self._check_lane(bend_1, 0.95) and no_cross       # ramp.py:156-160
+        no_cross = self._check_lane(connect_part, 0.95) and no_cross  # ramp.py:161-168
 
         bend_2, acc_lane = create_bend_straight(
             connect_part, acc_lane_len, self.RADIUS, math.radians(self.ANGLE),
@@ -803,7 +916,12 @@ class InRampOnStraight(Ramp):
         self.block_network.add_lane(bend_2_road.start_node, bend_2_road.end_node, bend_2)
         # merge lane rides alongside the acc section as an extra right lane
         self.block_network.add_lane(acc_road.start_node, acc_road.end_node, acc_lane)
-        return True
+        no_cross = self._check_lane(bend_2, 0.95) and no_cross       # ramp.py:185-189
+        no_cross = self._check_lane(acc_lane, 0.95) and no_cross     # ramp.py:190-194
+        # (the reference also adds a decorative quarter-circle merge tip on
+        # the Decoration road, ramp.py:196-201 — cosmetic only, skipped by
+        # the overlap check, not compiled here)
+        return no_cross
 
     def get_intermediate_spawn_lanes(self):
         """Exclude the socket road (ramp.py:203-216)."""
@@ -835,9 +953,14 @@ class OutRampOnStraight(Ramp):
             [self.positive_basic_lane.line_types[0], LINE_SIDE]
         )
         dec_road = Road(self.pre_block_socket.positive_road.end_node, self.add_road_node())
-        create_road_from(dec_lane, lane_num, dec_road, self.block_network,
-                         side_line_type=LINE_CONTINUOUS)
-        create_adverse_road(dec_road, self.block_network)
+        # no_cross wiring mirrors ramp.py:245-296
+        no_cross = create_road_from(
+            dec_lane, lane_num, dec_road, self.block_network,
+            side_line_type=LINE_CONTINUOUS, **self._cross_kwargs()
+        )
+        no_cross = create_adverse_road(
+            dec_road, self.block_network, **self._cross_kwargs()
+        ) and no_cross
         dec_right_lane = dec_road.get_lanes(self.block_network)[-1]
         dec_right_lane.line_types = [
             LINE_CONTINUOUS if lane_num == 1 else LINE_BROKEN, LINE_BROKEN
@@ -847,12 +970,19 @@ class OutRampOnStraight(Ramp):
             dec_right_lane, longitude_len, [dec_right_lane.line_types[0], LINE_CONTINUOUS]
         )
         extend_road = Road(dec_road.end_node, self.add_road_node())
-        create_road_from(extend_lane, lane_num, extend_road, self.block_network,
-                         side_line_type=LINE_CONTINUOUS)
-        create_adverse_road(extend_road, self.block_network)
+        no_cross = create_road_from(
+            extend_lane, lane_num, extend_road, self.block_network,
+            side_line_type=LINE_CONTINUOUS, **self._cross_kwargs()
+        ) and no_cross
+        no_cross = create_adverse_road(
+            extend_road, self.block_network, **self._cross_kwargs()
+        ) and no_cross
+        (-extend_road).get_lanes(self.block_network)[-1].line_types = [
+            LINE_NONE if lane_num == 1 else LINE_BROKEN, LINE_SIDE
+        ]
         self.add_sockets(self.create_socket_from_positive_road(extend_road))
 
-        # deceleration side lane + off-ramp (part 1)
+        # deceleration side lane + off-ramp (part 1, ramp.py:303-374)
         self.set_part_idx(1)
         dec_side_lane = HostStraightLane(
             dec_right_lane.position(width, width),
@@ -860,6 +990,7 @@ class OutRampOnStraight(Ramp):
             width, [LINE_BROKEN, LINE_CONTINUOUS]
         )
         self.block_network.add_lane(dec_road.start_node, dec_road.end_node, dec_side_lane)
+        no_cross = self._check_lane(dec_side_lane, 0.95) and no_cross
 
         bend_1, connect_part = create_bend_straight(
             dec_side_lane, self.CONNECT_PART_LEN, self.RADIUS, math.radians(self.ANGLE),
@@ -869,6 +1000,8 @@ class OutRampOnStraight(Ramp):
         connect_road = Road(bend_1_road.end_node, self.add_road_node())
         self.block_network.add_lane(bend_1_road.start_node, bend_1_road.end_node, bend_1)
         self.block_network.add_lane(connect_road.start_node, connect_road.end_node, connect_part)
+        no_cross = self._check_lane(bend_1, 0.95) and no_cross
+        no_cross = self._check_lane(connect_part, 0.95) and no_cross
 
         bend_2, straight_part = create_bend_straight(
             connect_part, self.RAMP_LEN, self.RADIUS, math.radians(self.ANGLE),
@@ -878,7 +1011,9 @@ class OutRampOnStraight(Ramp):
         straight_road = Road(bend_2_road.end_node, self.add_road_node())
         self.block_network.add_lane(bend_2_road.start_node, bend_2_road.end_node, bend_2)
         self.block_network.add_lane(straight_road.start_node, straight_road.end_node, straight_part)
-        return True
+        no_cross = self._check_lane(bend_2, 0.95) and no_cross
+        no_cross = self._check_lane(straight_part, 0.95) and no_cross
+        return no_cross
 
 
 
@@ -919,20 +1054,26 @@ class Merge(Bottleneck):
         basic = self.positive_lanes[straight_num - 1]
         ref_lane = extend_straight_lane(basic, bottle_len, [LINE_NONE, LINE_NONE])
         straight_road = Road(start_node, self.road_node(0, 0))
-        create_road_from(ref_lane, straight_num, straight_road, self.block_network,
-                         center_line_type=center_line_type,
-                         side_line_type=LINE_SIDE if circular_num == 0 else LINE_NONE,
-                         inner_line_type=LINE_NONE)
-        create_adverse_road(straight_road, self.block_network,
-                            center_line_type=center_line_type,
-                            side_line_type=LINE_SIDE if circular_num == 0 else LINE_NONE,
-                            inner_line_type=LINE_NONE)
+        # no_cross wiring mirrors bottleneck.py:46-174
+        no_cross = create_road_from(
+            ref_lane, straight_num, straight_road, self.block_network,
+            center_line_type=center_line_type,
+            side_line_type=LINE_SIDE if circular_num == 0 else LINE_NONE,
+            inner_line_type=LINE_NONE, **self._cross_kwargs())
+        no_cross = create_adverse_road(
+            straight_road, self.block_network,
+            center_line_type=center_line_type,
+            side_line_type=LINE_SIDE if circular_num == 0 else LINE_NONE,
+            inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
 
         ref_lane = extend_straight_lane(ref_lane, para[Parameter.length], [LINE_NONE, LINE_NONE])
         socket_road = Road(self.road_node(0, 0), self.road_node(0, 1))
-        create_road_from(ref_lane, straight_num, socket_road, self.block_network,
-                         center_line_type=center_line_type)
-        create_adverse_road(socket_road, self.block_network, center_line_type=center_line_type)
+        no_cross = create_road_from(
+            ref_lane, straight_num, socket_road, self.block_network,
+            center_line_type=center_line_type, **self._cross_kwargs()) and no_cross
+        no_cross = create_adverse_road(
+            socket_road, self.block_network, center_line_type=center_line_type,
+            **self._cross_kwargs()) and no_cross
         self.add_sockets(PGBlockSocket(socket_road, -socket_road))
 
         # merging side lanes: S-curves from the outer lanes into road_node(0,0)
@@ -941,22 +1082,26 @@ class Merge(Bottleneck):
             inner = self.road_node(1, index)
             side = LINE_SIDE if index == circular_num else LINE_NONE
             c1, c2, _ = create_wave_lanes(lane, lateral_dist, bottle_len, 5.0, self.lane_width)
-            create_road_from(c1, 1, Road(start_node, inner), self.block_network,
-                             center_line_type=LINE_NONE, side_line_type=side,
-                             inner_line_type=LINE_NONE)
-            create_road_from(c2, 1, Road(inner, self.road_node(0, 0)), self.block_network,
-                             center_line_type=LINE_NONE, side_line_type=side,
-                             inner_line_type=LINE_NONE)
+            no_cross = create_road_from(
+                c1, 1, Road(start_node, inner), self.block_network,
+                center_line_type=LINE_NONE, side_line_type=side,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
+            no_cross = create_road_from(
+                c2, 1, Road(inner, self.road_node(0, 0)), self.block_network,
+                center_line_type=LINE_NONE, side_line_type=side,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
             neg_lane = (-socket_road).get_lanes(self.block_network)[-1]
             c2b, c1b, _ = create_wave_lanes(neg_lane, lateral_dist, bottle_len, 5.0,
                                             self.lane_width, False)
-            create_road_from(c2b, 1, -Road(inner, self.road_node(0, 0)), self.block_network,
-                             center_line_type=LINE_NONE, side_line_type=side,
-                             inner_line_type=LINE_NONE)
-            create_road_from(c1b, 1, -Road(start_node, inner), self.block_network,
-                             center_line_type=LINE_NONE, side_line_type=side,
-                             inner_line_type=LINE_NONE)
-        return True
+            no_cross = create_road_from(
+                c2b, 1, -Road(inner, self.road_node(0, 0)), self.block_network,
+                center_line_type=LINE_NONE, side_line_type=side,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
+            no_cross = create_road_from(
+                c1b, 1, -Road(start_node, inner), self.block_network,
+                center_line_type=LINE_NONE, side_line_type=side,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
+        return no_cross
 
 
 class Split(Bottleneck):
@@ -978,12 +1123,15 @@ class Split(Bottleneck):
         basic = self.positive_lanes[straight_num - 1]
         ref_lane = extend_straight_lane(basic, bottle_len, [LINE_NONE, LINE_NONE])
         straight_road = Road(start_node, self.road_node(0, 0))
-        create_road_from(ref_lane, straight_num, straight_road, self.block_network,
-                         center_line_type=center_line_type, side_line_type=LINE_NONE,
-                         inner_line_type=LINE_NONE)
-        create_adverse_road(straight_road, self.block_network,
-                            center_line_type=center_line_type, side_line_type=LINE_NONE,
-                            inner_line_type=LINE_NONE)
+        # no_cross wiring mirrors bottleneck.py:190-325
+        no_cross = create_road_from(
+            ref_lane, straight_num, straight_road, self.block_network,
+            center_line_type=center_line_type, side_line_type=LINE_NONE,
+            inner_line_type=LINE_NONE, **self._cross_kwargs())
+        no_cross = create_adverse_road(
+            straight_road, self.block_network,
+            center_line_type=center_line_type, side_line_type=LINE_NONE,
+            inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
 
         # diverging side lanes out of start_node
         lane = self.positive_lanes[-1]
@@ -997,16 +1145,21 @@ class Split(Bottleneck):
             )
             if index == circular_num:
                 socket_ref = straight
-            create_road_from(c1, 1, Road(start_node, inner), self.block_network,
-                             center_line_type=LINE_NONE, side_line_type=side,
-                             inner_line_type=LINE_NONE)
-            create_road_from(c2, 1, Road(inner, self.road_node(0, 0)), self.block_network,
-                             center_line_type=LINE_NONE, side_line_type=side,
-                             inner_line_type=LINE_NONE)
+            no_cross = create_road_from(
+                c1, 1, Road(start_node, inner), self.block_network,
+                center_line_type=LINE_NONE, side_line_type=side,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
+            no_cross = create_road_from(
+                c2, 1, Road(inner, self.road_node(0, 0)), self.block_network,
+                center_line_type=LINE_NONE, side_line_type=side,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
 
         socket_road = Road(self.road_node(0, 0), self.road_node(0, 1))
-        create_road_from(socket_ref, total_num, socket_road, self.block_network)
-        create_adverse_road(socket_road, self.block_network)
+        no_cross = create_road_from(
+            socket_ref, total_num, socket_road, self.block_network,
+            **self._cross_kwargs()) and no_cross
+        no_cross = create_adverse_road(
+            socket_road, self.block_network, **self._cross_kwargs()) and no_cross
         self.add_sockets(PGBlockSocket(socket_road, -socket_road))
 
         # adverse merging lanes back toward the previous block
@@ -1016,13 +1169,15 @@ class Split(Bottleneck):
             inner = self.road_node(1, index)
             side = LINE_SIDE if index == circular_num else LINE_NONE
             c1, c2, _ = create_wave_lanes(lane, lateral_dist, bottle_len, 5.0, self.lane_width)
-            create_road_from(c1, 1, -Road(inner, self.road_node(0, 0)), self.block_network,
-                             center_line_type=LINE_NONE, side_line_type=side,
-                             inner_line_type=LINE_NONE)
-            create_road_from(c2, 1, -Road(start_node, inner), self.block_network,
-                             center_line_type=LINE_NONE, side_line_type=side,
-                             inner_line_type=LINE_NONE)
-        return True
+            no_cross = create_road_from(
+                c1, 1, -Road(inner, self.road_node(0, 0)), self.block_network,
+                center_line_type=LINE_NONE, side_line_type=side,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
+            no_cross = create_road_from(
+                c2, 1, -Road(start_node, inner), self.block_network,
+                center_line_type=LINE_NONE, side_line_type=side,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()) and no_cross
+        return no_cross
 
 
 class Bidirection(PGBlock):
@@ -1047,13 +1202,18 @@ class Bidirection(PGBlock):
         start = self.pre_block_socket.positive_road.end_node
         end = self.add_road_node()
         socket = Road(start, end)
-        create_road_from(new_lane, 1, socket, self.block_network)
+        # no_cross wiring mirrors bidirection.py:99-116
+        no_cross = create_road_from(
+            new_lane, 1, socket, self.block_network, **self._cross_kwargs())
         # the adverse road overlaps the same physical lane
+        # (create_overlap_road, bidirection.py:18-56)
         overlap = HostStraightLane(end_position, start_position, basic.width,
                                    [LINE_BROKEN, LINE_SIDE])
-        create_road_from(overlap, 1, -socket, self.block_network)
+        no_cross = create_road_from(
+            overlap, 1, -socket, self.block_network, **self._cross_kwargs()
+        ) and no_cross
         self.add_sockets(PGBlockSocket(socket, -socket))
-        return True
+        return no_cross
 
 
 class TollGate(PGBlock):
@@ -1077,20 +1237,20 @@ class TollGate(PGBlock):
         start = self.pre_block_socket.positive_road.end_node
         end = self.add_road_node()
         socket = Road(start, end)
-        create_road_from(
+        no_cross = create_road_from(
             new_lane, self.positive_lane_num, socket, self.block_network,
             center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_CONTINUOUS,
-            side_line_type=LINE_SIDE,
+            side_line_type=LINE_SIDE, **self._cross_kwargs()
         )
-        create_adverse_road(
+        no_cross = create_adverse_road(
             socket, self.block_network,
             center_line_type=LINE_CONTINUOUS, inner_line_type=LINE_CONTINUOUS,
-            side_line_type=LINE_SIDE,
-        )
+            side_line_type=LINE_SIDE, **self._cross_kwargs()
+        ) and no_cross
         self.add_sockets(PGBlockSocket(socket, -socket))
         self._add_building_and_speed_limit(socket)
         self._add_building_and_speed_limit(-socket)
-        return True
+        return no_cross
 
     def _add_building_and_speed_limit(self, road):
         # booth on every odd lane (tollgate.py:64-75)
@@ -1147,30 +1307,38 @@ class ParkingLot(PGBlock):
             self.positive_lanes[0], main_len, [LINE_BROKEN, LINE_NONE]
         )
         road = Road(self.pre_block_socket.positive_road.end_node, self.road_node(0, 0))
-        create_road_from(
+        # counted aisle/socket checks mirror parking_lot.py:45-93; the
+        # per-space conditional checks (:116-333) are NOT replicated — the
+        # space graph here is a simplified twin and ParkingLot is absent
+        # from the BIG v2 sampling distribution (blocks_prob_dist.py:22-41),
+        # so rejection parity cannot affect sampled maps
+        no_cross = create_road_from(
             main_lane, 1, road, self.block_network,
             center_line_type=LINE_BROKEN, inner_line_type=LINE_BROKEN,
             side_line_type=LINE_NONE, center_line_color=LINE_COLOR_GREY,
+            **self._cross_kwargs()
         )
-        create_adverse_road(
+        no_cross = create_adverse_road(
             road, self.block_network,
             center_line_type=LINE_BROKEN, inner_line_type=LINE_BROKEN,
             side_line_type=LINE_NONE, center_line_color=LINE_COLOR_GREY,
-        )
+            **self._cross_kwargs()
+        ) and no_cross
 
         # out socket (parking_lot.py:68-96)
         out_lane = extend_straight_lane(main_lane, self.SOCKET_LENGTH, [LINE_BROKEN, LINE_NONE])
         out_road = Road(self.road_node(0, 0), self.road_node(0, 1))
-        create_road_from(
+        no_cross = create_road_from(
             out_lane, 1, out_road, self.block_network,
             center_line_type=LINE_BROKEN, inner_line_type=LINE_BROKEN,
-            side_line_type=LINE_SIDE,
-        )
-        create_adverse_road(
+            side_line_type=LINE_SIDE, **self._cross_kwargs()
+        ) and no_cross
+        no_cross = create_adverse_road(
             out_road, self.block_network,
             center_line_type=LINE_BROKEN, inner_line_type=LINE_BROKEN,
-            side_line_type=LINE_SIDE,
-        )
+            side_line_type=LINE_SIDE, **self._cross_kwargs()
+        ) and no_cross
+        self._no_cross = no_cross
         socket = self.create_socket_from_positive_road(out_road)
         self.add_sockets(socket)
 
@@ -1188,7 +1356,7 @@ class ParkingLot(PGBlock):
             self._add_one_parking_space(
                 self.pre_block_socket, socket, i + 1, radius, j * w, (n - j - 1) * w
             )
-        return True
+        return self._no_cross
 
     def _add_one_parking_space(self, in_socket, out_socket, part_idx, radius,
                                dist_to_in, dist_to_out):

@@ -83,8 +83,10 @@ def compile_scene(seed, config):
         # PGMapManager.add_random_to_map (pg_map_manager.py:66-74): per-seed
         # lane width in [MIN_LANE_WIDTH, MAX_LANE_WIDTH]=[3.0, 4.5], lane
         # count in [MIN_LANE_NUM, MAX_LANE_NUM]=[2, 3] (base_map.py:38-41).
-        # Draws come from a per-seed gym-hash RandomState rather than the
-        # manager's sequential stream (maps compile in parallel here).
+        # Stream-exact: engine.seed re-seeds every manager with the episode
+        # seed on reset (base_engine.py:546-553), so the manager's rand()/
+        # randint() here are the first draws of get_np_random(seed) — which
+        # is precisely ref_rng(seed).
         from metadrive_ped_tpu.mapgen.ref_random import ref_rng
         rng = ref_rng(seed)
         map_config = dict(map_config)

@@ -14,9 +14,16 @@ class BoxSpace:
         return float(rs.uniform(self.min, self.max))
 
     def sample_from_u(self, u):
-        """Reference Box.sample bounded branch: uniform(low, high) = the
-        space's first random_sample scaled (pg_space.py:443-473)."""
-        return self.min + (self.max - self.min) * u
+        """Reference Box.sample bounded branch: the gym Box is constructed
+        with dtype float32, so low/high are float32-cast, uniform runs in
+        float64, and the result is cast back to float32
+        (pg_space.py:54-100 wrap2gym_space + gym Box.sample:443-473).
+        Reproducing that rounding bit-for-bit matters: block geometry is
+        built from these values, and the overlap test samples it."""
+        import numpy as np
+        lo = np.float64(np.float32(self.min))
+        hi = np.float64(np.float32(self.max))
+        return float(np.float32(lo + (hi - lo) * u))
 
 
 class DiscreteSpace:

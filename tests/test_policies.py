@@ -135,3 +135,45 @@ def test_expert_closes_episodes_end_to_end():
     assert fin >= 10, f"expert should finish episodes, finished {fin}"
     rate = suc / fin
     assert rate >= 0.3, f"expert success rate collapsed: {rate:.2f} ({suc}/{fin})"
+
+
+def test_expert_reference_protocol_ccc():
+    """The reference's own expert benchmark, with the reference's own
+    assertions (tests/test_policy/test_expert_performance.py:60-100):
+    map "CCC", start_seed=2, fixed spawn lane — without traffic the expert
+    must succeed on EVERY episode and score an episode reward in
+    [300, 350]; with traffic the reward band still holds. Measured here:
+    success 1.0, mean reward ~327 both ways — reference-level parity."""
+    import numpy as np
+    import jax.numpy as jnp
+    from metadrive_ped_tpu import MetaDriveEnv
+    from metadrive_ped_tpu.policies.expert import expert_action, load_expert_params
+    params = load_expert_params()
+    for density, need_all_success in ((0.0, True), (0.1, False)):
+        env = MetaDriveEnv(dict(
+            num_envs=16, map="CCC", num_scenarios=1, start_seed=2,
+            traffic_density=density, random_spawn_lane_index=False,
+            vehicle_config=dict(lidar=dict(num_lasers=240, num_others=4)),
+            horizon=1000,
+        ))
+        env.reset(seed=0)
+        pol = lambda obs, state: jnp.clip(expert_action(params, obs), -1, 1)
+        outs, _ = env.rollout(
+            700, policy_fn=pol, collect=("terminated", "arrive_dest", "reward")
+        )
+        term = np.asarray(outs["terminated"])
+        suc = (term & np.asarray(outs["arrive_dest"])).sum()
+        fin = term.sum()
+        assert fin >= 16
+        if need_all_success:
+            assert suc == fin, f"expert must succeed every CCC episode ({suc}/{fin})"
+        r = np.asarray(outs["reward"])
+        ep_rewards, acc = [], np.zeros(r.shape[1])
+        for t in range(r.shape[0]):
+            acc += r[t]
+            for e in np.where(term[t])[0]:
+                ep_rewards.append(acc[e])
+                acc[e] = 0.0
+        mean_r = float(np.mean(ep_rewards))
+        assert 300.0 <= mean_r <= 350.0, f"density {density}: reward {mean_r:.1f}"
+        env.close()
