@@ -19,7 +19,7 @@ from metadrive_ped_tpu.version import VERSION, __version__
 
 __all__ = [
     "MetaDriveEnv", "SafeMetaDriveEnv", "VaryingDynamicsEnv", "MixedTrafficEnv", "createGymWrapper",
-    "ScenarioEnv", "TopDownMetaDrive", "TopDownMetaDriveEnvV2", "TopDownSingleFrameMetaDriveEnv",
+    "MixWaymoPGEnv", "ScenarioEnv", "TopDownMetaDrive", "TopDownMetaDriveEnvV2", "TopDownSingleFrameMetaDriveEnv",
     "MultiAgentMetaDrive", "MultiAgentRoundaboutEnv", "MultiAgentIntersectionEnv",
     "MultiAgentBottleneckEnv", "MultiAgentBidirectionEnv", "MultiAgentTollgateEnv",
     "MultiAgentParkingLotEnv", "MultiAgentRacingEnv",
@@ -34,6 +34,7 @@ _LAZY = {
     "MixedTrafficEnv": (f"{_ENVS}.mixed_traffic_env", "MixedTrafficEnv"),
     "createGymWrapper": (f"{_ENVS}.gym_wrapper", "createGymWrapper"),
     "ScenarioEnv": (f"{_ENVS}.scenario_env", "ScenarioEnv"),
+    "MixWaymoPGEnv": (f"{_ENVS}.mix_waymo_pg_env", "MixWaymoPGEnv"),
     "TopDownMetaDrive": (f"{_ENVS}.top_down_env", "TopDownMetaDrive"),
     "TopDownMetaDriveEnvV2": (f"{_ENVS}.top_down_env", "TopDownMetaDriveEnvV2"),
     "TopDownSingleFrameMetaDriveEnv": (f"{_ENVS}.top_down_env", "TopDownSingleFrameMetaDriveEnv"),

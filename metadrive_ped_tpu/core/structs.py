@@ -176,6 +176,9 @@ class EgoState:
     on_white_line: jnp.ndarray   # [E] bool
     out_of_route: jnp.ndarray    # [E] bool
     past_pos: jnp.ndarray        # [E, PAST_POS_STEPS, 2] ego position history
+    break_down: jnp.ndarray      # [E] fault injection: broken-down vehicles
+                                 # ignore their actions (set_break_down,
+                                 # base_vehicle.py:939-941)
     params: VehicleParams        # [E] fields
 
 

@@ -85,7 +85,10 @@ class BaseVectorEnv:
                 num_workers=1,
                 map=3,  # int block count or block-ID string (pg_map.py:17-36)
                 map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0,
-                                xodr_file=None),  # OpenDrive ingest (mapgen/opendrive.py)
+                                xodr_file=None,  # OpenDrive ingest (mapgen/opendrive.py)
+                                # CityBIG growth instead of linear BIG
+                                # (component/map/city_map.py:97-113)
+                                city_map=False),
                 # pre-compiled scene pack (PGMapManager.dump_all_maps/
                 # load_all_maps parity, pg_map_manager.py:92-133): skip map
                 # generation and load the pkl written by env.dump_all_maps
@@ -384,6 +387,22 @@ class BaseVectorEnv:
     #    engine.dump_episode / ReplayManager force-set,
     #    base_engine.py:480-487; here the entire [E,...] pytree IS the
     #    episode state, so checkpoint/resume is a tree copy) ----------------
+    def set_break_down(self, rows=None, break_down=True):
+        """In-sim fault injection (vehicle.set_break_down,
+        base_vehicle.py:939-941): the selected env rows' vehicles stop
+        responding to actions until un-set or respawned. ``rows`` = bool
+        mask [E], index list, or None for all rows."""
+        st = self._state
+        assert st is not None, "reset() the env before injecting faults"
+        flags = np.asarray(st.ego.break_down).copy()
+        if rows is None:
+            flags[:] = break_down
+        else:
+            flags[np.asarray(rows)] = break_down
+        self._state = st.replace(
+            ego=st.ego.replace(break_down=jnp.asarray(flags))
+        )
+
     def snapshot(self):
         """Full simulation state as a host-side pytree of numpy arrays."""
         return jax.tree_util.tree_map(np.asarray, self._state)
@@ -523,6 +542,7 @@ class BaseVectorEnv:
             on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
             out_of_route=jnp.zeros(E, bool),
             past_pos=jnp.tile(pos[:, None, :], (1, PAST_POS_STEPS, 1)),
+            break_down=jnp.zeros(E, bool),
             params=self._ego_params(rng, E),
         )
         npc_lane = scene.npc_lane[sidx]              # [E,N]
@@ -641,6 +661,11 @@ class BaseVectorEnv:
         the same env). Returns (pos,heading,len,wid,active) [E,X,...] or
         None."""
         return None
+
+    def _override_kinematics(self, state, ego, dt, rep):
+        """Hook: replace the bicycle-model pose for selected rows (rule-based
+        TinyInter agents advance kinematically along their lane)."""
+        return ego
 
     def _freeze_mask(self, state):
         """Hook: [E] bool — rows whose ego must stay frozen this step
@@ -791,6 +816,10 @@ class BaseVectorEnv:
         # (reference _preprocess_action -> safe_clip_for_small_array,
         # base_vehicle.py:204-209 + utils/math.py:16-26)
         actions = jnp.clip(jnp.nan_to_num(actions, nan=0.0, posinf=1.0, neginf=-1.0), -1.0, 1.0)
+        # fault injection: broken-down vehicles ignore their actions and
+        # coast to a stop (set_break_down, base_vehicle.py:939-941 — the
+        # reference's breakdown car simply has no policy actuating it)
+        actions = jnp.where(state.ego.break_down[:, None], 0.0, actions)
 
         takeover_info = None
         if cfg["agent_policy"] == "lane_change":
@@ -825,6 +854,10 @@ class BaseVectorEnv:
             speed = keep2(speed, ego.speed)
             vel_dir = keep2(vel_dir, ego.vel_dir)
         ego = ego.replace(pos=pos, heading=heading, speed=speed, vel_dir=vel_dir)
+        # hook: rows driven kinematically instead of by the bicycle model
+        # (TinyInterRuleBasedPolicy teleports along the routing lane,
+        # tinyinter.py:193-221); default no-op
+        ego = self._override_kinematics(state, ego, dt, rep)
 
         # PG traffic-light phases (opt-in): green -> yellow -> red per arm,
         # opposite arms antiphased (mapgen/scene.py light_offset). Computed

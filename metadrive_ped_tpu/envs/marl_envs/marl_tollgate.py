@@ -11,14 +11,15 @@ Observation (TollGateObservation, marl_tollgate.py:65-110): side-detector
 cloud (72) + 6 core ego dims + lane-line cloud (4) + lidar (72) + 2 toll
 flags = 156 dims; no navigation block.
 
-Documented divergences: the lane-line detector rays only see continuous
-lines (broken-line segments are not compiled into the scene arrays), and the
-stay-time accounting uses a per-agent step counter inside the toll block
-rather than entry/exit timestamps (equivalent observable behavior).
+Documented divergence: the stay-time accounting uses a per-agent step
+counter inside the toll block rather than entry/exit timestamps (equivalent
+observable behavior).
 """
 import jax.numpy as jnp
 
-from metadrive_ped_tpu.constants import SEG_WHITE_LINE, SEG_YELLOW_LINE, OBS_MAX_STEERING
+from metadrive_ped_tpu.constants import (
+    OBS_MAX_STEERING, SEG_BROKEN_LINE, SEG_WHITE_LINE, SEG_YELLOW_LINE
+)
 from metadrive_ped_tpu.envs.marl_envs.marl_env import MultiAgentMetaDrive
 from metadrive_ped_tpu.ops import lane_geom, raycast
 from metadrive_ped_tpu.ops.math_ops import clip01, heading_vec
@@ -105,10 +106,17 @@ class MultiAgentTollgateEnv(MultiAgentMetaDrive):
             vc["side_detector"]["distance"],
             scene.seg_p0[sidx], scene.seg_p1[sidx], seg_line,
         )
+        # LaneLineDetector sees BOTH line types (BrokenLaneLine |
+        # ContinuousLaneLine mask, distance_detector.py:202); broken-line
+        # segments are compiled because lane_line_detector.num_lasers>0
+        # turns on include_broken_line_segs (envs/base.py scene build)
+        any_line = seg_line | (
+            (scene.seg_type[sidx] == SEG_BROKEN_LINE) & scene.seg_valid[sidx]
+        )
         lane_line = raycast.side_detector_cloud(
             ego.pos, ego.heading, vc["lane_line_detector"]["num_lasers"],
             vc["lane_line_detector"]["distance"],
-            scene.seg_p0[sidx], scene.seg_p1[sidx], seg_line,
+            scene.seg_p0[sidx], scene.seg_p1[sidx], any_line,
         )
 
         # core ego dims (state_obs.py vehicle_state middle block)

@@ -221,6 +221,7 @@ class ScenarioEnv:
             on_yellow_line=jnp.zeros(E, bool), on_white_line=jnp.zeros(E, bool),
             out_of_route=jnp.zeros(E, bool),
             past_pos=jnp.tile(pos[:, None, :], (1, PAST_POS_STEPS, 1)),
+            break_down=jnp.zeros(E, bool),
             params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
         )
         TRK = scene.max_tracks
@@ -494,6 +495,8 @@ class ScenarioEnv:
         scene = self.scene
         E = self.num_envs
         actions = jnp.clip(jnp.nan_to_num(actions, nan=0.0, posinf=1.0, neginf=-1.0), -1, 1)
+        # fault injection (set_break_down, base_vehicle.py:939-941)
+        actions = jnp.where(state.ego.break_down[:, None], 0.0, actions)
 
         ego = state.ego
         ego = ego.replace(

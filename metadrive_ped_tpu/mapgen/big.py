@@ -140,6 +140,64 @@ class BIG:
         self.next_step = NextStep.search_sibling
 
 
+class CityBIG(BIG):
+    """City-style growth (reference: component/map/city_map.py:26-95
+    CityBIG): each new block attaches to a random UNUSED socket across ALL
+    existing blocks (BIG always extends the last block), with MAX_TRIAL=2.
+    The socket draw sorts candidates by the reference's socket-index string
+    "{block_index}{ID}-socket{i}" (pg_block.py:30-35) so the np_random.choice
+    consumes the stream identically."""
+
+    MAX_TRIAL = 2
+
+    def sample_block(self):
+        if self._block_sequence is None:
+            name = self.np_random.choice(self._block_names, p=self._block_probs)
+            block_type = BLOCK_NAME_TO_CLASS[str(name)]
+        else:
+            type_id = self._block_sequence[len(self.blocks)]
+            block_type = PG_BLOCKS[type_id]
+        socket_used = set(
+            id(block.pre_block_socket) for block in self.blocks[1:]
+            if block.pre_block_socket is not None
+        )
+        socket_available = []
+        for b in self.blocks:
+            for i, s in enumerate(b.get_socket_list()):
+                if id(s) in socket_used:
+                    continue
+                key = f"{b.block_index}{b.ID}-socket{i}"
+                socket_available.append((key, s))
+        socket_available.sort(key=lambda ks: ks[0])
+        pick = self.np_random.choice(len(socket_available))
+        socket = socket_available[int(pick)][1]
+        return block_type(
+            len(self.blocks),
+            socket,
+            self._global_network,
+            self.np_random.randint(0, 10000),
+        )
+
+
+def generate_city_map(seed, map_config):
+    """Build a city road network (reference CityMap._generate,
+    city_map.py:97-113): CityBIG growth over the standard v2 distribution."""
+    network = NodeRoadNetwork()
+    big = CityBIG(
+        lane_num=map_config.get("lane_num", 3),
+        lane_width=map_config.get("lane_width", 3.5),
+        global_network=network,
+        exit_length=map_config.get("exit_length", 50.0),
+        random_seed=seed,
+    )
+    cfg = map_config.get("config", 3)
+    if isinstance(cfg, str):
+        big.generate(BigGenerateMethod.BLOCK_SEQUENCE, cfg)
+    else:
+        big.generate(BigGenerateMethod.BLOCK_NUM, int(cfg))
+    return network, big.blocks
+
+
 def generate_map(seed, map_config):
     """Build the road network + block list for one scenario seed.
 
@@ -150,6 +208,8 @@ def generate_map(seed, map_config):
     if map_config.get("xodr_file"):
         from metadrive_ped_tpu.mapgen.opendrive import generate_opendrive_map
         return generate_opendrive_map(map_config)
+    if map_config.get("city_map"):
+        return generate_city_map(seed, map_config)
     network = NodeRoadNetwork()
     custom = map_config.get("custom_blocks")
     if custom is not None:

@@ -387,3 +387,31 @@ def test_record_episode_and_replay_frame():
     np.testing.assert_array_equal(
         np.asarray(rec["state"].ego.pos), np.asarray(rec2["state"].ego.pos)
     )
+
+
+def test_set_break_down_fault_injection():
+    """vehicle.set_break_down (base_vehicle.py:939-941): broken-down rows
+    ignore their actions and coast to a stop; un-setting restores control."""
+    import numpy as np
+    from metadrive_ped_tpu import MetaDriveEnv
+    env = MetaDriveEnv(dict(num_envs=4, map="S", num_scenarios=1,
+                            traffic_density=0.0, auto_reset=False))
+    env.reset(seed=0)
+    for _ in range(20):
+        env.step(np.tile([0.0, 1.0], (4, 1)))
+    v0 = np.asarray(env._state.ego.speed).copy()
+    env.set_break_down([0, 1])
+    for _ in range(40):
+        env.step(np.tile([0.0, 1.0], (4, 1)))
+    speeds = np.asarray(env._state.ego.speed)
+    # rolling friction (0.5 m/s^2) decelerates the broken rows ~2 m/s over
+    # 4 s while the healthy rows keep accelerating under full throttle
+    assert speeds[0] < v0[0] - 1.5 and speeds[1] < v0[1] - 1.5,         "broken rows must coast down"
+    assert speeds[2] > v0[2] + 1.5 and speeds[3] > v0[3] + 1.5,         "healthy rows keep driving"
+    env.set_break_down([0], break_down=False)
+    for _ in range(30):
+        env.step(np.tile([0.0, 1.0], (4, 1)))
+    speeds2 = np.asarray(env._state.ego.speed)
+    assert speeds2[0] > speeds[0] + 1.5, "repaired row must accelerate again"
+    assert speeds2[1] < speeds[1] - 0.5, "row 1 stays broken"
+    env.close()

@@ -264,3 +264,30 @@ def test_no_traffic_disables_all_tracks(recorded_scenarios):
         assert not bool(np.asarray(info["crash_vehicle"]).any())
         # lidar sees nothing: the cloud stays at 1.0
         assert float(np.asarray(obs)[:, -120:].min()) > 0.999
+
+
+def test_mix_waymo_pg_env_alternates_suites(recorded_scenarios):
+    """MixWaymoPGEnv (legacy_envs/mix_waymo_pg_env.py:63-199): reset()
+    flips between real-scenario replay and PG episodes at
+    real_data_ratio=0.5; PG episodes get a random initial speed."""
+    from metadrive_ped_tpu import MixWaymoPGEnv
+    env = MixWaymoPGEnv(dict(
+        num_envs=2, scenario_data=recorded_scenarios,
+        map="S", traffic_density=0.1,
+    ))
+    assert env.real_data_ratio == 0.5
+    suites = set()
+    for trial in range(12):
+        obs, info = env.reset(seed=trial)
+        suites.add(env.is_current_real_data)
+        if not env.is_current_real_data:
+            # PG rows may carry the reference's random initial speed
+            assert obs.shape == (2, env.pg_env.observation_dim)
+        else:
+            assert obs.shape == (2, env.scenario_env.observation_dim)
+        obs2, r, te, tr, inf = env.step(np.tile([0.0, 0.5], (2, 1)))
+        assert np.isfinite(np.asarray(obs2)).all()
+        if len(suites) == 2 and trial >= 3:
+            break
+    assert suites == {True, False}, "both suites must be visited"
+    env.close()
