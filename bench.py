@@ -33,7 +33,16 @@ def _make_env(config_name, num_envs, scenarios):
         from metadrive_ped_tpu import MultiAgentRoundaboutEnv
         return MultiAgentRoundaboutEnv(dict(num_envs=num_envs))
     if config_name == "scenario":
-        # self-generated SD dataset replayed with reactive IDM traffic
+        # Waymo-scale synthetic SD dataset replayed with reactive IDM
+        # traffic: 64 tracks, ~200-step horizon, >200-point lanes — the
+        # shapes real nuScenes/Waymo packs compile to (round-2 verdict:
+        # the old self-exported PG scenes were much smaller than real data)
+        from metadrive_ped_tpu import ScenarioEnv
+        sds = [_synthetic_waymo_sd(s) for s in range(scenarios)]
+        return ScenarioEnv(dict(num_envs=num_envs, scenario_data=sds,
+                                reactive_traffic=True))
+    if config_name == "scenario_recorded":
+        # legacy round-2 protocol: small self-exported PG scenes
         import tempfile
         from metadrive_ped_tpu import MetaDriveEnv, ScenarioEnv
         from metadrive_ped_tpu.scenario.recorder import export_scenarios
@@ -48,6 +57,78 @@ def _make_env(config_name, num_envs, scenarios):
     raise ValueError(config_name)
 
 
+def _synthetic_waymo_sd(seed, T=198, n_tracks=64, n_lanes=80, lane_pts=220):
+    """One ScenarioDescription with Waymo-like shapes (track count, episode
+    length, lane polyline length; cf. scenarionet Waymo stats: ~200 frames
+    at 10 Hz, tens of tracks, long multi-point lanes)."""
+    rng = np.random.RandomState(seed)
+    dt = 0.1
+    lane_w = 3.8
+    n_cols = 8                      # parallel lanes of a corridor
+    length_m = (lane_pts - 1) * 1.5
+
+    def lane_centerline(col):
+        xs = np.linspace(0.0, length_m, lane_pts)
+        ys = np.full(lane_pts, col * lane_w) + 2.0 * np.sin(xs / 60.0)
+        return np.stack([xs, ys], axis=1)
+
+    map_features = {}
+    for li in range(n_lanes):
+        col = li % n_cols
+        off = (li // n_cols) * 0.0   # stacked variants share the corridor
+        pts = lane_centerline(col)
+        pts = pts + np.array([0.0, off])
+        map_features[f"lane_{li}"] = dict(
+            type="LANE_SURFACE_STREET", polyline=pts.astype(np.float32),
+            width=lane_w,
+        )
+    for side, col in (("l", -0.5), ("r", n_cols - 0.5)):
+        edge = lane_centerline(0)
+        edge[:, 1] = col * lane_w + 2.0 * np.sin(edge[:, 0] / 60.0)
+        map_features[f"edge_{side}"] = dict(
+            type="ROAD_EDGE_BOUNDARY", polyline=edge.astype(np.float32)
+        )
+
+    def track(col, x0, speed, kind="VEHICLE"):
+        xs = x0 + speed * dt * np.arange(T)
+        ys = col * lane_w + 2.0 * np.sin(xs / 60.0)
+        pos = np.stack([xs, ys, np.zeros(T)], axis=1).astype(np.float32)
+        heading = np.arctan2(np.gradient(ys), np.gradient(xs)).astype(np.float32)
+        vel = np.stack([np.gradient(xs) / dt, np.gradient(ys) / dt], axis=1)
+        return dict(
+            type=kind,
+            state=dict(
+                position=pos, heading=heading, velocity=vel.astype(np.float32),
+                valid=np.ones(T, bool),
+                length=np.full(T, 4.8, np.float32),
+                width=np.full(T, 2.0, np.float32),
+                height=np.full(T, 1.6, np.float32),
+            ),
+            metadata=dict(track_length=T, type=kind, object_id="x"),
+        )
+
+    tracks = {"sdc": track(3, 5.0, 11.0)}
+    for k in range(n_tracks):
+        col = int(rng.randint(0, n_cols))
+        x0 = float(rng.uniform(0.0, length_m * 0.6))
+        speed = float(rng.uniform(4.0, 14.0))
+        kind = "VEHICLE" if k % 8 else ("PEDESTRIAN" if k % 16 else "CYCLIST")
+        tracks[f"o{k}"] = track(col, x0, speed, kind)
+
+    return {
+        "id": f"synthetic_waymo_{seed}",
+        "version": "MetaDrive v0.4.1.1",
+        "length": T,
+        "tracks": tracks,
+        "dynamic_map_states": {},
+        "map_features": map_features,
+        "metadata": dict(
+            sdc_id="sdc", dataset="synthetic-waymo-scale", coordinate="metadrive",
+            ts=(np.arange(T) * dt).astype(np.float32), seed=seed,
+        ),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="small sizes for smoke testing")
@@ -56,14 +137,15 @@ def main():
     p.add_argument("--scenarios", type=int, default=None)
     p.add_argument("--density", type=float, default=0.05)
     p.add_argument("--config", default="pg",
-                   choices=("pg", "safe", "marl", "scenario"),
+                   choices=("pg", "safe", "marl", "scenario", "scenario_recorded"),
                    help="BASELINE.json config family; default = canonical "
                         "PG protocol (the driver's metric)")
     args = p.parse_args()
 
     # measured on v5e: pg 3.05M at 8192 (2.90M at 4096); safe 2.06M at 4096
     # (869k at 1024); scenario 1.17M at 1024 (751k at 512)
-    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 1024}
+    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 1024,
+                    "scenario_recorded": 1024}
     num_envs = args.num_envs or (256 if args.quick else default_envs[args.config])
     steps = args.steps or (30 if args.quick else 200)
     scenarios = args.scenarios or (4 if args.quick else 16)

@@ -1,12 +1,20 @@
-"""1 -> N virtual-device scaling table for the README.
+"""Sharding-overhead study on virtual CPU devices (README table).
 
-Measures the ShardedEnv rollout throughput over 1/2/4/8 virtual CPU devices
-(each count needs its own process: xla_force_host_platform_device_count is
-fixed at backend init). The point is to validate that the env-axis sharding
-scales with the mesh — absolute CPU numbers are NOT the TPU numbers
-(bench.py on real hardware is).
+All virtual devices share the same silicon, so an N-device run does the
+same total FLOPs as a 1-device run with the same TOTAL env count — any
+throughput difference IS the cost of SPMD partitioning (sharded layouts,
+boundary reshards; the env axis itself needs zero hot-loop collectives).
+For each device count we therefore run the SAME total env batch twice:
 
-    python examples/scaling_table.py [--num-envs 512] [--steps 50]
+  unsharded: 1 virtual device,  E = devices * envs_per_device
+  sharded:   N virtual devices, E = devices * envs_per_device (ShardedEnv)
+
+and report sharded/unsharded throughput. At realistic per-device batches
+(>=256 envs/device) the partitioning overhead must amortize to ~1.0x; the
+round-2 table's 0.77x at 8 devices came from tiny 64-env shards where the
+per-shard kernels were too small to hide the partitioning bookkeeping.
+
+    python examples/scaling_table.py [--envs-per-device 256] [--steps 30]
 """
 import argparse
 import json
@@ -25,42 +33,51 @@ import json, time
 import numpy as np
 from metadrive_ped_tpu import MetaDriveEnv
 from metadrive_ped_tpu.parallel import ShardedEnv
-env = ShardedEnv(MetaDriveEnv(dict(
-    num_envs=%(num_envs)d, map=3, num_scenarios=8, traffic_density=0.05)))
+env = MetaDriveEnv(dict(
+    num_envs=%(num_envs)d, map=3, num_scenarios=8, traffic_density=0.05))
+if %(n)d > 1:
+    env = ShardedEnv(env)
 env.reset(seed=0)
 acts = np.tile([0.0, 1.0], (%(num_envs)d, 1)).astype(np.float32)
 env.rollout(%(steps)d, actions=acts)      # compile
 t0 = time.perf_counter()
 env.rollout(%(steps)d, actions=acts)
 dt = time.perf_counter() - t0
-print(json.dumps(dict(devices=%(n)d, steps_per_s=%(num_envs)d * %(steps)d / dt)))
+print(json.dumps(dict(devices=%(n)d, num_envs=%(num_envs)d,
+                      steps_per_s=%(num_envs)d * %(steps)d / dt)))
 """
+
+
+def _run(n, num_envs, steps):
+    code = _WORKER % dict(n=n, num_envs=num_envs, steps=steps)
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=ROOT, capture_output=True,
+        text=True, timeout=1800,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    row = json.loads(line)
+    print(line, flush=True)
+    return row
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--num-envs", type=int, default=512)
-    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--envs-per-device", type=int, default=256)
+    p.add_argument("--steps", type=int, default=30)
     p.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
     args = p.parse_args()
 
     rows = []
     for n in args.devices:
-        code = _WORKER % dict(n=n, num_envs=args.num_envs, steps=args.steps)
-        out = subprocess.run(
-            [sys.executable, "-c", code], cwd=ROOT, capture_output=True,
-            text=True, timeout=900,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        rows.append(json.loads(line))
-        print(line, flush=True)
+        total = n * args.envs_per_device
+        base = _run(1, total, args.steps)       # same total work, unsharded
+        shard = _run(n, total, args.steps) if n > 1 else base
+        rows.append((n, total, base["steps_per_s"], shard["steps_per_s"]))
 
-    base = rows[0]["steps_per_s"]
-    print("\n| devices | env-steps/s (CPU) | speedup |")
-    print("|---|---|---|")
-    for r in rows:
-        print(f"| {r['devices']} | {r['steps_per_s']:,.0f} | "
-              f"{r['steps_per_s'] / base:.2f}x |")
+    print("\n| devices | total envs | unsharded steps/s | sharded steps/s | overhead |")
+    print("|---|---|---|---|---|")
+    for n, total, b, s in rows:
+        print(f"| {n} | {total} | {b:,.0f} | {s:,.0f} | {1 - s / b:+.1%} |")
 
 
 if __name__ == "__main__":

@@ -158,7 +158,11 @@ class BaseVectorEnv:
                     max_steering=40.0,
                     max_speed_km_h=80.0,
                     lidar=dict(num_lasers=240, distance=50.0, num_others=0,
-                               gaussian_noise=0.0, dropout_prob=0.0),
+                               gaussian_noise=0.0, dropout_prob=0.0,
+                               # CommunicationObservation extension: append
+                               # each agent's two navi checkpoints to its
+                               # comm slot (tinyinter.py:142-186)
+                               add_others_navi=False),
                     side_detector=dict(num_lasers=0, distance=50.0),
                     lane_line_detector=dict(num_lasers=0, distance=20.0),
                 ),

@@ -130,16 +130,30 @@ class MultiAgentTinyInter(MultiAgentIntersectionEnv):
         rva = _clip_norm(jnp.stack([vx, vy], axis=-1), COMM_SPEED_SCALE)
 
         slot_id = (jnp.arange(A) + 1.0) / A              # [A]
-        feats = jnp.concatenate(
-            [
-                jnp.broadcast_to(slot_id[None, None, :, None], (E, A, A, 1)),
-                clip01((rp / dist + 1) / 2),
-                clip01((rva / COMM_SPEED_SCALE + 1) / 2),
-            ],
-            axis=-1,
-        )                                                # [E,Aego,Aother,5]
+        parts = [
+            jnp.broadcast_to(slot_id[None, None, :, None], (E, A, A, 1)),
+            clip01((rp / dist + 1) / 2),
+            clip01((rva / COMM_SPEED_SCALE + 1) / 2),
+        ]
+        res_size = 5
+        if lidar_cfg.get("add_others_navi"):
+            # each slot also broadcasts its two navigation checkpoints,
+            # projected into the observer's frame (tinyinter.py:174-186)
+            from metadrive_ped_tpu.ops import localization
+            ck1, ck2 = localization.checkpoint_positions(
+                self.scene, state.sidx, state.ego.slot, state.ego.route_idx
+            )
+            for ck in (ck1, ck2):
+                ck_ea = self._rows_to_EA(ck)                       # [E,A,2]
+                rel_ck = ck_ea[:, None, :, :] - pos[:, :, None, :]  # [E,Aego,Ao,2]
+                cx = (rel_ck * hv[:, :, None, :]).sum(-1)
+                cy = (rel_ck * rv[:, :, None, :]).sum(-1)
+                rc = _clip_norm(jnp.stack([cx, cy], axis=-1), dist)
+                parts.append(clip01((rc / dist + 1) / 2))
+            res_size = 9
+        feats = jnp.concatenate(parts, axis=-1)          # [E,Aego,Aother,res]
         feats = jnp.where(active[:, None, :, None], feats, 0.0)
-        comm = feats.reshape(rows, A * 5)
+        comm = feats.reshape(rows, A * res_size)
 
         # splice between the state vector and the lidar cloud
         # (lidar_observe: other_v_info = global_info + cloud_points)
@@ -151,7 +165,8 @@ class MultiAgentTinyInter(MultiAgentIntersectionEnv):
     def observation_dim(self):
         d = super().observation_dim
         if self.config["use_communication_obs"]:
-            d += self.agents_per_env * 5
+            res = 9 if self.config["vehicle_config"]["lidar"].get("add_others_navi") else 5
+            d += self.agents_per_env * res
         return d
 
     # ---- RL-only env surface (filter_RL_agents, tinyinter.py:374-395) -----

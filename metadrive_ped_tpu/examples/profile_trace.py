@@ -43,6 +43,16 @@ def _make_env(config, num_envs, scenarios):
         save_dataset(list(export_scenarios(src, n_steps=100).values()), d)
         return ScenarioEnv(dict(num_envs=num_envs, num_scenarios=scenarios,
                                 data_directory=d, reactive_traffic=True))
+    if config == "scenario_waymo":
+        # Waymo-scale synthetic pack (bench.py --config scenario shapes)
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"))
+        bench = importlib.util.module_from_spec(spec); spec.loader.exec_module(bench)
+        from metadrive_ped_tpu.envs.scenario_env import ScenarioEnv
+        sds = [bench._synthetic_waymo_sd(s) for s in range(scenarios)]
+        return ScenarioEnv(dict(num_envs=num_envs, scenario_data=sds,
+                                reactive_traffic=True))
     raise ValueError(config)
 
 
@@ -60,7 +70,7 @@ def parse_trace(logdir, top=25):
 def main():
     import jax
     p = argparse.ArgumentParser()
-    p.add_argument("--config", default="pg", choices=("pg", "marl", "scenario"))
+    p.add_argument("--config", default="pg", choices=("pg", "marl", "scenario", "scenario_waymo"))
     p.add_argument("--num-envs", "-e", type=int, default=1024)
     p.add_argument("--num-steps", "-n", type=int, default=50)
     p.add_argument("--num-scenarios", type=int, default=16)

@@ -144,6 +144,22 @@ def _checkpoint_info(scene, sidx, ref_lane, lane_num, lane_width, pos, heading):
     )
 
 
+def checkpoint_positions(scene, sidx, slot, route_idx):
+    """World positions of the two navigation checkpoints (the lane-end
+    midpoints the 2x5 navi block aims at; node_network_navigation.py:243-292
+    get_checkpoints) — used by the TinyInter CommunicationObservation's
+    add_others_navi slots (tinyinter.py:174-186)."""
+    lane0, nlanes, next_lane0, has_next = _ref_lane_ids(scene, sidx, slot, route_idx)
+    lane_width = scene.lane_width[sidx, lane0]
+    later_middle = (nlanes.astype(jnp.float32) / 2 - 0.5) * lane_width
+    g1 = lane_geom.gather_lane(scene, sidx, lane0)
+    ck1 = lane_geom.position(g1, g1["length"], later_middle)
+    ref2 = jnp.where(has_next, next_lane0, lane0)
+    g2 = lane_geom.gather_lane(scene, sidx, ref2)
+    ck2 = lane_geom.position(g2, g2["length"], later_middle)
+    return ck1, ck2
+
+
 def navi_info(scene, sidx, slot, route_idx, pos, heading):
     """The 10-dim navigation observation block (2 checkpoints x 5)."""
     lane0, nlanes, next_lane0, has_next = _ref_lane_ids(scene, sidx, slot, route_idx)

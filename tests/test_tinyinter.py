@@ -87,3 +87,27 @@ def test_tinyinter_map_is_tiny():
     assert env.config["map_config"]["exit_length"] == 30.0
     assert env.config["delay_done"] == 0  # ignore_delay_done
     env.close()
+
+
+def test_tinyinter_add_others_navi():
+    """add_others_navi widens each comm slot to 9 dims with the slot's two
+    navi checkpoints projected into the observer's frame
+    (tinyinter.py:142-186)."""
+    A = 4
+    env = MultiAgentTinyInter(dict(
+        num_envs=1, num_agents=A, num_RL_agents=A, use_communication_obs=True,
+        vehicle_config=dict(lidar=dict(num_lasers=72, distance=40.0,
+                                       num_others=0, add_others_navi=True)),
+    ))
+    obs, _ = env.reset(seed=0)
+    assert env.observation_dim == 91 + A * 9
+    o = np.asarray(obs)[0]
+    comm = o[:, 19: 19 + A * 9].reshape(A, A, 9)
+    # checkpoint features live in [0,1] and are not degenerate zeros for
+    # active slots
+    assert comm[..., 5:].min() >= 0.0 and comm[..., 5:].max() <= 1.0
+    assert (comm[..., 5:] > 0.0).any()
+    for _ in range(5):
+        obs, *_ = env.step(np.tile([0.0, 0.4], (1, A, 1)))
+    assert np.isfinite(np.asarray(obs)).all()
+    env.close()
