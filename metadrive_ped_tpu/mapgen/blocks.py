@@ -321,10 +321,21 @@ class PGBlock:
         return ok
 
     def destruct(self):
-        """Remove this block's roads from the global network."""
+        """Remove this block's roads from the global network. The decoration
+        road is SHARED between blocks — remove only this block's lanes by
+        identity (reference node_road_network.py:107-115 __isub__)."""
+        from metadrive_ped_tpu.mapgen.overlap import DECORATION_START
         for start, ends in self.block_network.graph.items():
             gstart = self.global_network.graph.get(start)
             if not gstart:
+                continue
+            if start == DECORATION_START:
+                # the (possibly now-empty) decoration entry stays in the
+                # graph, exactly like the reference __isub__
+                for end, lanes in ends.items():
+                    glanes = gstart.get(end)
+                    if glanes:
+                        gstart[end] = [l for l in glanes if all(l is not m for m in lanes)]
                 continue
             for end in list(ends.keys()):
                 gstart.pop(end, None)
@@ -354,10 +365,13 @@ class PGBlock:
 
     def get_intermediate_spawn_lanes(self):
         """Positive lanes of this block usable as traffic spawn points
-        (reference: base_block.py get_intermediate_spawn_lanes)."""
+        (reference: pg_block.py:236-242 via get_positive_lanes, which
+        excludes negative roads AND the decoration road — road.py
+        is_valid_road)."""
+        from metadrive_ped_tpu.mapgen.overlap import DECORATION_START
         lanes = []
         for start, ends in self.block_network.graph.items():
-            if start.startswith("-"):
+            if start.startswith("-") or start == DECORATION_START:
                 continue
             for end, road_lanes in ends.items():
                 lanes.append(road_lanes)
@@ -918,9 +932,15 @@ class InRampOnStraight(Ramp):
         self.block_network.add_lane(acc_road.start_node, acc_road.end_node, acc_lane)
         no_cross = self._check_lane(bend_2, 0.95) and no_cross       # ramp.py:185-189
         no_cross = self._check_lane(acc_lane, 0.95) and no_cross     # ramp.py:190-194
-        # (the reference also adds a decorative quarter-circle merge tip on
-        # the Decoration road, ramp.py:196-201 — cosmetic only, skipped by
-        # the overlap check, not compiled here)
+        # decorative quarter-circle merge tip on the Decoration road
+        # (ramp.py:196-201) — real world geometry in the reference, skipped
+        # by the overlap check (utils/pg/utils.py:56)
+        from metadrive_ped_tpu.mapgen.overlap import DECORATION_END, DECORATION_START
+        merge_lane, _ = create_bend_straight(
+            acc_lane, 10, width / 2, math.pi / 2, False, width,
+            [LINE_BROKEN, LINE_CONTINUOUS]
+        )
+        self.block_network.add_lane(DECORATION_START, DECORATION_END, merge_lane)
         return no_cross
 
     def get_intermediate_spawn_lanes(self):
@@ -1013,6 +1033,15 @@ class OutRampOnStraight(Ramp):
         self.block_network.add_lane(straight_road.start_node, straight_road.end_node, straight_part)
         no_cross = self._check_lane(bend_2, 0.95) and no_cross
         no_cross = self._check_lane(straight_part, 0.95) and no_cross
+        # decoration merge tip off the reversed dec side lane
+        # (ramp.py:231-242 _get_merge_part + :372-373)
+        from metadrive_ped_tpu.mapgen.overlap import DECORATION_END, DECORATION_START
+        tool_lane = HostStraightLane(dec_side_lane.end, dec_side_lane.start, width)
+        decoration_part, _ = create_bend_straight(
+            tool_lane, 10, width / 2, math.pi / 2, True, width,
+            [LINE_CONTINUOUS, LINE_BROKEN]
+        )
+        self.block_network.add_lane(DECORATION_START, DECORATION_END, decoration_part)
         return no_cross
 
 

@@ -20,9 +20,10 @@ from metadrive_ped_tpu.mapgen.lanes import HostCircularLane, HostStraightLane
 SIDEWALK_WIDTH = 2.0
 SIDEWALK_LINE_DIST = 0.6
 
-# Decoration road key skipped by the check (reference constants.py Decoration)
-DECORATION_START = "decoration_start"
-DECORATION_END = "decoration_end"
+# Decoration road key skipped by the check (reference constants.py:93-98
+# Decoration.start/end — isolated lanes not connecting any nodes)
+DECORATION_START = "decoration"
+DECORATION_END = "decoration_"
 
 
 def get_points_bounding_box(points):

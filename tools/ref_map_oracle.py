@@ -191,6 +191,30 @@ def dump_seed(BIG, BigGenerateMethod, NodeRoadNetwork, seed, blocks_n,
     return dict(blocks=blocks, roads=roads)
 
 
+def dump_city_seed(NRN, seed, blocks_n, lane_num, lane_width, exit_length):
+    """Same dump via the reference's CityBIG (component/algorithm/blocks_prob_dist
+    growth over ALL blocks' unused sockets, city_map.py:26-95)."""
+    from metadrive.component.algorithm.BIG import BigGenerateMethod
+    from metadrive.component.map.city_map import CityBIG
+    net = NRN()
+    # CityBIG takes no exit_length (city_map.py:29-47) — BIG's default 50
+    big = CityBIG(lane_num, lane_width, net, mock.MagicMock(), mock.MagicMock(),
+                  random_seed=seed)
+    big.generate(BigGenerateMethod.BLOCK_NUM, blocks_n)
+    blocks = []
+    for blk in big.blocks[1:]:
+        blocks.append(dict(
+            id=blk.ID,
+            seed=int(blk._random_seed) if hasattr(blk, "_random_seed") else int(blk.random_seed),
+            trials=int(blk.number_of_sample_trial),
+        ))
+    roads = {}
+    for frm, tos in net.graph.items():
+        for to, lanes in tos.items():
+            roads[f"{frm}->{to}"] = [round(float(l.length), 4) for l in lanes]
+    return dict(blocks=blocks, roads=roads)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", default="0:20")
@@ -198,6 +222,8 @@ def main():
     ap.add_argument("--lane-num", type=int, default=3)
     ap.add_argument("--lane-width", type=float, default=3.5)
     ap.add_argument("--exit-length", type=float, default=50.0)
+    ap.add_argument("--city", action="store_true",
+                    help="dump via the reference CityBIG instead of BIG")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.seeds.split(":"))
@@ -206,9 +232,12 @@ def main():
     out = {}
     for seed in range(lo, hi):
         try:
-            out[str(seed)] = dump_seed(
-                BIG, BGM, NRN, seed, args.blocks, args.lane_num,
-                args.lane_width, args.exit_length
+            out[str(seed)] = (
+                dump_city_seed(NRN, seed, args.blocks, args.lane_num,
+                               args.lane_width, args.exit_length)
+                if args.city else
+                dump_seed(BIG, BGM, NRN, seed, args.blocks, args.lane_num,
+                          args.lane_width, args.exit_length)
             )
         except Exception as e:  # pragma: no cover - oracle diagnostics
             out[str(seed)] = dict(error=f"{type(e).__name__}: {e}")
