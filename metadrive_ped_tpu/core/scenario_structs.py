@@ -112,3 +112,17 @@ class ScenarioSimState:
     npc_speed: jnp.ndarray     # [E, TRK]
     npc_acc: jnp.ndarray       # [E, TRK]
     npc_dead: jnp.ndarray      # [E, TRK] bool
+    # carried uniform-path pose — invariant: the pose at arc npc_long on the
+    # track's fixed-spacing route. npc_long only advances inside the reactive
+    # traffic step, so the pose is computed ONCE there (after the advance)
+    # and reused everywhere else (candidate set, contacts, lidar, obs):
+    # halves the full-width one-hot route contractions per step
+    npc_upos: jnp.ndarray      # [E, TRK, 2]
+    npc_uheading: jnp.ndarray  # [E, TRK]
+    # global act-batch phase (scalar): on each step only tracks with
+    # k % IDM_ACT_BATCH_SIZE == phase recompute their IDM acceleration —
+    # the batched twin of the reference's round-robin policy_index
+    # (scenario_traffic_manager.py:75); a global counter rather than
+    # per-env episode_step so the fresh batch is ONE dynamic slice instead
+    # of a per-env mask over all tracks (5x less front-gap work)
+    phase: jnp.ndarray         # [] int32

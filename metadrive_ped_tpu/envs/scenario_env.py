@@ -225,6 +225,13 @@ class ScenarioEnv:
             params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
         )
         TRK = scene.max_tracks
+        # pose at arc 0 of each track's route: the first two chord points
+        # (a [S,TRK,2,2] slice of the route table, then a small row gather —
+        # NOT a full [E,TRK,P,2] gather; _spawn is traced inside the step
+        # for auto-reset rows)
+        p0 = scene.trk_upath[:, :, 0, :][sidx]
+        p1 = scene.trk_upath[:, :, 1, :][sidx]
+        uheading = jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
         return ScenarioSimState(
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
             episode_reward=zeros, episode_cost=zeros,
@@ -232,6 +239,8 @@ class ScenarioEnv:
             last_long=zeros, cur_long=zeros, cur_lat=zeros,
             npc_long=jnp.zeros((E, TRK)), npc_speed=jnp.zeros((E, TRK)),
             npc_acc=jnp.zeros((E, TRK)), npc_dead=jnp.zeros((E, TRK), bool),
+            npc_upos=p0, npc_uheading=uheading,
+            phase=jnp.int32(0),
         )
 
     def _reset_impl(self, rng):
@@ -262,12 +271,10 @@ class ScenarioEnv:
             # speed control (idm_policy.py:426-493). Eligibility was
             # precomputed per track (route > 5 m, spawned behind the ego —
             # scenario_traffic_manager.py:217-235); everything else replays.
-            from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M
+            # The route pose is CARRIED in the state (npc_upos invariant) —
+            # no one-hot contraction here.
             unpts = scene.trk_unpts[sidx]
-            p_pos, p_heading = polyline.uniform_pose(
-                scene.trk_upath[sidx], unpts, TRK_SPACING_M, state.npc_long,
-                total=scene.trk_utotal[sidx],
-            )
+            p_pos, p_heading = state.npc_upos, state.npc_uheading
             reactive = scene.trk_reactive_ok[sidx]
             pos = jnp.where(reactive[..., None], p_pos, pos)
             heading = jnp.where(reactive, p_heading, heading)
@@ -291,11 +298,18 @@ class ScenarioEnv:
           IDM_MAX_DIST — bodies near the lane, smallest positive relative
           longitude), not a heading cone;
         - staggered act batches: track k refreshes its IDM acceleration only
-          on steps where step % IDM_ACT_BATCH_SIZE == k % IDM_ACT_BATCH_SIZE
-          and replays the committed value otherwise (before_step reuses
-          last_action, scenario_traffic_manager.py:75);
+          on steps where the global act phase equals k % IDM_ACT_BATCH_SIZE
+          and replays the committed value otherwise (the batched twin of
+          before_step's round-robin policy_index gate,
+          scenario_traffic_manager.py:75 — each IDM car does speed control
+          exactly once every IDM_ACT_BATCH_SIZE steps);
         - arrive_destination: a car within DEST_REGION_RADIUS of its route
           end is cleaned (idm_policy.py:449-455 + manager before_step).
+
+        The probe chain + front-gap search run ONLY for the fresh batch: the
+        track axis is padded to a multiple of IDM_ACT_BATCH_SIZE so the
+        batch is one dynamic slice [E, TRK/5, ...] — 5x less pairwise work
+        than masking a full-width computation.
         """
         from metadrive_ped_tpu.constants import BICYCLE_REF_ACCEL
         from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M
@@ -306,7 +320,8 @@ class ScenarioEnv:
         unpts = scene.trk_unpts[sidx]
         total = scene.trk_utotal[sidx]
 
-        # candidates at their ACTUAL current pose (replay or reactive)
+        # candidates at their ACTUAL current pose (replay or reactive); the
+        # reactive route pose comes from the carried state invariant
         cand_pos, _, cand_active = self._npc_pose(state)
         cand = jnp.concatenate([cand_pos, ego.pos[:, None]], axis=1)      # [E,C,2]
         cand_active = jnp.concatenate(
@@ -317,66 +332,81 @@ class ScenarioEnv:
             [scene.trk_wid[sidx], ego.params.width[:, None]], axis=1
         )
 
+        # ---- fresh act batch: tracks k == phase (mod ACT) as ONE slice ----
+        ACT = IDM_ACT_BATCH_SIZE
+        G = TRK // ACT
+        phase = state.phase
+
+        def sub(x):
+            r = x.reshape((E, G, ACT) + x.shape[2:])
+            return jax.lax.dynamic_slice_in_dim(r, phase, 1, axis=2).squeeze(2)
+
+        long_sub = sub(state.npc_long)                                     # [E,G]
+        unpts_sub = sub(unpts)
+        total_sub = sub(total)
+        upath_sub = sub(upath)                                             # [E,G,P,2]
+        base_sub = jnp.floor(long_sub / TRK_SPACING_M).astype(jnp.int32)
+
         # 20 m probe chain along my own arc (5 points / 4 chords) off the
-        # fixed-spacing path: chord index = base + k*(5/spacing), each probe
-        # one one-hot contraction (polyline.uniform_point)
-        my_pos, _ = polyline.uniform_pose(
-            upath, unpts, TRK_SPACING_M, state.npc_long, total=total
-        )
-        base = jnp.floor(state.npc_long / TRK_SPACING_M).astype(jnp.int32)
+        # fixed-spacing path, one shared one-hot pass
         step_chords = int(round((IDM_MAX_DIST / 4.0) / TRK_SPACING_M))
-        probe = jnp.stack(
-            [my_pos] + [
-                polyline.uniform_point(upath, unpts, base + k * step_chords)
-                for k in range(1, 5)
-            ], axis=-2,
-        )                                                                  # [E,TRK,5,2]
-        probe_long = jnp.minimum(
-            jnp.minimum(base[..., None] + jnp.arange(5) * step_chords,
-                        unpts[..., None] - 1).astype(jnp.float32) * TRK_SPACING_M,
-            total[..., None],
+        my_pos_sub, _, aheads = polyline.uniform_pose_and_ahead(
+            upath_sub, unpts_sub, TRK_SPACING_M, long_sub, total_sub,
+            deltas=tuple(k * step_chords for k in range(1, 5)),
         )
-        probe_long = probe_long.at[..., 0].set(state.npc_long)
+        probe = jnp.stack([my_pos_sub] + aheads, axis=-2)                  # [E,G,5,2]
+        probe_long = jnp.minimum(
+            jnp.minimum(base_sub[..., None] + jnp.arange(5) * step_chords,
+                        unpts_sub[..., None] - 1).astype(jnp.float32) * TRK_SPACING_M,
+            total_sub[..., None],
+        )
+        probe_long = probe_long.at[..., 0].set(long_sub)
         a = probe[..., :-1, :]
         seg = probe[..., 1:, :] - a
-        seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))        # [E,TRK,4]
-        arc0 = (probe_long - state.npc_long[..., None])[..., :-1]         # [E,TRK,4]
+        seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))        # [E,G,4]
+        arc0 = (probe_long - long_sub[..., None])[..., :-1]               # [E,G,4]
 
-        rel = cand[:, None, :, None, :] - a[:, :, None, :, :]             # [E,TRK,C,4,2]
+        rel = cand[:, None, :, None, :] - a[:, :, None, :, :]             # [E,G,C,4,2]
         t = jnp.clip(
             (rel * seg[:, :, None]).sum(-1)
             / jnp.maximum((seg_len ** 2)[:, :, None], 1e-9), 0.0, 1.0,
         )
         proj = a[:, :, None] + t[..., None] * seg[:, :, None]
         dist_lat = jnp.sqrt(((cand[:, None, :, None, :] - proj) ** 2).sum(-1))
-        long_c = arc0[:, :, None, :] + t * seg_len[:, :, None, :]         # [E,TRK,C,4]
+        long_c = arc0[:, :, None, :] + t * seg_len[:, :, None, :]         # [E,G,C,4]
         # on-route test ~ PointLane(width=2).point_on_lane of the candidate
         # bounding box (idm_policy.py:160-167): centre within half the lane
         # width plus the body's half width
         on_route = dist_lat < (1.0 + cand_wid[:, None, :, None] / 2)
-        not_self = ~jnp.eye(TRK, TRK + 1, dtype=bool)[None]
+        # candidate c is the probing track itself when c == g*ACT + phase
+        ks = jnp.arange(G) * ACT + phase                                   # [G]
+        not_self = jnp.arange(TRK + 1)[None, :] != ks[:, None]             # [G,C]
         valid = (
             on_route & cand_active[:, None, :, None]
-            & not_self[..., None] & (long_c > 0.1)
+            & not_self[None, :, :, None] & (long_c > 0.1)
         )
-        fgap = jnp.where(valid, long_c, jnp.inf).reshape(E, TRK, -1)
-        front_dist = fgap.min(axis=2)                                      # [E,TRK]
+        fgap = jnp.where(valid, long_c, jnp.inf)                           # [E,G,C,4]
+        front_dist = fgap.min(axis=(2, 3))                                 # [E,G]
         has_front = jnp.isfinite(front_dist)
-        oh = (fgap == front_dist[..., None]) & has_front[..., None]
-        oh = (oh & (jnp.cumsum(oh, axis=2) == 1)).astype(jnp.float32)
-        sp = jnp.broadcast_to(cand_speed[:, None, :, None], fgap.shape[:2] + (TRK + 1, 4))
-        front_speed = (oh * sp.reshape(E, TRK, -1)).sum(axis=2)
+        # speed of the nearest candidate: a tie-broken min-reduce instead of
+        # first-match one-hot — the cumsum of the one-hot lowered to a
+        # depthwise convolution (reduce_window) that alone cost ~1 ms/step
+        # at Waymo scale; exact-distance ties between distinct bodies are
+        # measure-zero, and ties resolve to the slowest (most conservative)
+        front_speed = jnp.where(
+            fgap <= front_dist[..., None, None], cand_speed[:, None, :, None], jnp.inf
+        ).min(axis=(2, 3))
+        front_speed = jnp.where(has_front, front_speed, 0.0)
 
-        acc_new = idm_acceleration(
-            state.npc_speed * 3.6, front_speed * 3.6,
+        acc_sub = idm_acceleration(
+            sub(state.npc_speed) * 3.6, front_speed * 3.6,
             jnp.where(has_front, front_dist, 1e6), has_front,
             target_speed_kmh=TRAJ_NORMAL_SPEED,
         )
-        # staggered act batches: refresh only on my batch step
-        fresh = (state.step_count[:, None] % IDM_ACT_BATCH_SIZE) == (
-            jnp.arange(TRK)[None] % IDM_ACT_BATCH_SIZE
-        )
-        acc = jnp.where(fresh, acc_new, state.npc_acc)
+        # commit the fresh batch; other tracks replay their committed value
+        acc = jax.lax.dynamic_update_slice_in_dim(
+            state.npc_acc.reshape(E, G, ACT), acc_sub[..., None], phase, axis=2
+        ).reshape(E, TRK)
 
         # acceleration -> speed exactly like a throttle on the bicycle model
         # (before_step clips the action; full throttle = BICYCLE_REF_ACCEL)
@@ -389,7 +419,13 @@ class ScenarioEnv:
         # arrive_destination within 2 m of the route end, measured along the
         # arc (== the reference's euclidean end-region radius at route ends)
         dead = state.npc_dead | (total - long < DEST_REGION_RADIUS)
-        return state.replace(npc_long=long, npc_speed=speed, npc_acc=acc, npc_dead=dead)
+        # re-establish the carried-pose invariant at the advanced arc — the
+        # ONE full-width route contraction per step
+        upos, uheading = polyline.uniform_pose(
+            upath, unpts, TRK_SPACING_M, long, total=total
+        )
+        return state.replace(npc_long=long, npc_speed=speed, npc_acc=acc,
+                             npc_dead=dead, npc_upos=upos, npc_uheading=uheading)
 
     def _observe(self, state, cached=None):
         """cached = (long, lat, traj_heading, npc_pose) computed by
@@ -590,9 +626,15 @@ class ScenarioEnv:
         # lane-network localization (need_lane_localization; the reference
         # builds ScenarioLanes from map_features and ray-localizes the ego
         # against them — scenario_map.py:9, edge_network_navigation.py:159):
-        # on_lane = the ego centre sits inside some map lane's band
+        # on_lane = the ego centre sits inside some map lane's band.
+        # Computed only when something consumes it: with
+        # relax_out_of_road_done (the default) out-of-road is the lateral
+        # band test and on_lane would be a dead flag — the [E,LN,LP] band
+        # distance pass + per-env lane gather cost ~0.25 ms/step at Waymo
+        # scale for nothing
         on_lane = jnp.ones(E, bool)
-        use_lanes = self._has_lanes and cfg["need_lane_localization"]
+        use_lanes = (self._has_lanes and cfg["need_lane_localization"]
+                     and not cfg["relax_out_of_road_done"])
         if use_lanes:
             inside = polyline.in_band(
                 scene.lane_pts[state.sidx], scene.lane_npts[state.sidx],
@@ -693,7 +735,7 @@ class ScenarioEnv:
                 )(step_rng, cap)
             fresh = self._spawn(reset_rng, new_sidx)
             state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
+                lambda new, old: old if old.ndim == 0 else jnp.where(
                     done.reshape(done.shape + (1,) * (old.ndim - 1)), new, old
                 ),
                 fresh, state.replace(rng=step_rng),
@@ -714,6 +756,10 @@ class ScenarioEnv:
                 jnp.where(d1, scene.trk_heading_t[state.sidx * T0], npc_heading),
                 jnp.where(d1, scene.trk_valid_t[state.sidx * T0], npc_active),
             )
+
+        # advance the global act-batch phase (scalar — untouched by the
+        # per-env auto-reset merge above)
+        state = state.replace(phase=(state.phase + 1) % IDM_ACT_BATCH_SIZE)
 
         obs = self._observe(state, cached=(long, lat, traj_heading, npc_pose))
         return state, obs, reward, terminated, truncated, info

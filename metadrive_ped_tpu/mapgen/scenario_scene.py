@@ -276,6 +276,21 @@ def build_scenario_pack(sds):
         else:
             pack[k] = np.stack([_pad_to_shape(a, max_shape[k]) for a in arrs])
 
+    # pad the track axis to a multiple of the IDM act-batch size: the
+    # reactive step slices the fresh act batch as [S, TRK/5, ...] (tracks
+    # k == phase mod 5), which needs TRK % 5 == 0; padded slots are
+    # permanently invalid
+    from metadrive_ped_tpu.envs.scenario_env import IDM_ACT_BATCH_SIZE
+    TRK0 = pack["trk_pos"].shape[1]
+    pad_k = (-TRK0) % IDM_ACT_BATCH_SIZE
+    if pad_k:
+        for k in ("trk_pos", "trk_heading", "trk_valid", "trk_len", "trk_wid",
+                  "trk_kind", "trk_first_t", "trk_reactive_ok"):
+            a = pack[k]
+            pw = [(0, 0)] * a.ndim
+            pw[1] = (0, pad_k)
+            pack[k] = np.pad(a, pw)
+
     # static arc-length tables — computed once here so the jit'd step never
     # re-runs the cumsum over T/PT (polyline.* accept them via s=)
     def np_arc(pts, npts):

@@ -153,6 +153,50 @@ def uniform_pose(upath, unpts, spacing, long, total=None):
     return pos, heading
 
 
+def uniform_pose_and_ahead(upath, unpts, spacing, long, total, deltas):
+    """uniform_pose PLUS the chord points at indices i+delta, all contracted
+    from ONE one-hot pass over P.
+
+    The probe chain of TrajectoryIDM needs the pose at `long` and 4 points
+    spaced ahead along the same fixed-spacing path. Computing each with its
+    own uniform_point builds a fresh [.., P] one-hot and re-reads the
+    (per-env gathered) path from HBM — profiled at ~0.3 ms/step at Waymo
+    scale. Here one one-hot `i == arange(P)` is contracted against
+    end-shifted copies of the path (a static slice + endpoint pad, fused by
+    XLA into the same pass), so the path is read once. The shift+endpoint-pad
+    is exactly uniform_point's index clamp because rows pad [unpts:] with the
+    endpoint.
+
+    Returns (pos [.., 2], heading [..], [points at i+d for d in deltas]).
+    """
+    P = upath.shape[-2]
+    i = jnp.floor(long / spacing).astype(jnp.int32)
+    i = jnp.clip(jnp.minimum(i, unpts - 2), 0, P - 2)
+    frac = jnp.clip(long / spacing - i, 0.0, 1.0)
+    if total is not None:
+        last_i = jnp.maximum(unpts - 2, 0)
+        last_span = jnp.maximum(total - last_i.astype(total.dtype) * spacing, 1e-6)
+        frac = jnp.where(
+            i == last_i,
+            jnp.clip((long - i.astype(total.dtype) * spacing) / last_span, 0.0, 1.0),
+            frac,
+        )
+    ar = jnp.arange(P)
+
+    def pick(d):
+        # uniform_point's index clamp; a fresh small one-hot per delta (NOT a
+        # shifted copy of the path — materializing end-shifted [..,P,2]
+        # copies cost more than the contractions they fed)
+        j = jnp.clip(jnp.minimum(i + d, unpts - 1), 0, P - 1)
+        oh = (j[..., None] == ar).astype(upath.dtype)
+        return (oh[..., None] * upath).sum(-2)
+
+    p0, p1 = pick(0), pick(1)
+    pos = p0 + frac[..., None] * (p1 - p0)
+    heading = jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
+    return pos, heading, [pick(d) for d in deltas]
+
+
 def uniform_point(upath, unpts, idx):
     """Chord point at index `idx` (clamped to the valid range)."""
     P = upath.shape[-2]
