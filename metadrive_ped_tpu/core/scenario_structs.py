@@ -65,8 +65,12 @@ class ScenarioScene:
     # gathers a[sidx * T + t] (the TPU fast path) instead of one-hot
     # contractions over the T axis (profiled as multiply_reduce hotspots)
     # fixed-spacing resampled routes (TRK_SPACING_M chords) — reactive
-    # traffic pose/probe lookups are one one-hot each (polyline.uniform_*)
-    trk_upath: jnp.ndarray        # [S, TRK, P5, 2]
+    # traffic pose/probe lookups are one one-hot each (polyline.uniform_*).
+    # Stored as int16 offsets from trk_uorigin at UPATH_QUANT resolution so
+    # the per-env gather + contractions move half the bytes (TPU HBM is the
+    # bottleneck); dequantization fuses into the one-hot reduce
+    trk_upath_q: jnp.ndarray      # [S, TRK, P5, 2] int16
+    trk_uorigin: jnp.ndarray      # [S, TRK, 2] float32
     trk_unpts: jnp.ndarray        # [S, TRK]
     trk_utotal: jnp.ndarray       # [S, TRK]
     trk_pos_t: jnp.ndarray        # [S*T, TRK, 2]

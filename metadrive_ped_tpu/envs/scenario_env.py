@@ -225,12 +225,13 @@ class ScenarioEnv:
             params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
         )
         TRK = scene.max_tracks
-        # pose at arc 0 of each track's route: the first two chord points
-        # (a [S,TRK,2,2] slice of the route table, then a small row gather —
-        # NOT a full [E,TRK,P,2] gather; _spawn is traced inside the step
-        # for auto-reset rows)
-        p0 = scene.trk_upath[:, :, 0, :][sidx]
-        p1 = scene.trk_upath[:, :, 1, :][sidx]
+        # pose at arc 0 of each track's route: the origin (chord 0 == the
+        # quantization origin) and the dequantized chord 1 — small row
+        # gathers, NOT a full [E,TRK,P,2] gather; _spawn is traced inside
+        # the step for auto-reset rows
+        from metadrive_ped_tpu.mapgen.scenario_scene import UPATH_QUANT
+        p0 = scene.trk_uorigin[sidx]
+        p1 = p0 + scene.trk_upath_q[:, :, 1, :][sidx].astype(jnp.float32) * UPATH_QUANT
         uheading = jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
         return ScenarioSimState(
             rng=rng, sidx=sidx, step_count=jnp.zeros(E, jnp.int32),
@@ -312,11 +313,12 @@ class ScenarioEnv:
         than masking a full-width computation.
         """
         from metadrive_ped_tpu.constants import BICYCLE_REF_ACCEL
-        from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M
+        from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M, UPATH_QUANT
         from metadrive_ped_tpu.ops.idm import idm_acceleration
         scene, sidx = self.scene, state.sidx
         E, TRK = state.npc_long.shape
-        upath = scene.trk_upath[sidx]
+        upath_q = scene.trk_upath_q[sidx]        # [E,TRK,P,2] int16 (half the bytes)
+        uorigin = scene.trk_uorigin[sidx]        # [E,TRK,2]
         unpts = scene.trk_unpts[sidx]
         total = scene.trk_utotal[sidx]
 
@@ -344,15 +346,16 @@ class ScenarioEnv:
         long_sub = sub(state.npc_long)                                     # [E,G]
         unpts_sub = sub(unpts)
         total_sub = sub(total)
-        upath_sub = sub(upath)                                             # [E,G,P,2]
+        upath_q_sub = sub(upath_q)                                         # [E,G,P,2]
         base_sub = jnp.floor(long_sub / TRK_SPACING_M).astype(jnp.int32)
 
         # 20 m probe chain along my own arc (5 points / 4 chords) off the
         # fixed-spacing path, one shared one-hot pass
         step_chords = int(round((IDM_MAX_DIST / 4.0) / TRK_SPACING_M))
         my_pos_sub, _, aheads = polyline.uniform_pose_and_ahead(
-            upath_sub, unpts_sub, TRK_SPACING_M, long_sub, total_sub,
+            upath_q_sub, unpts_sub, TRK_SPACING_M, long_sub, total_sub,
             deltas=tuple(k * step_chords for k in range(1, 5)),
+            scale=UPATH_QUANT, origin=sub(uorigin),
         )
         probe = jnp.stack([my_pos_sub] + aheads, axis=-2)                  # [E,G,5,2]
         probe_long = jnp.minimum(
@@ -422,7 +425,8 @@ class ScenarioEnv:
         # re-establish the carried-pose invariant at the advanced arc — the
         # ONE full-width route contraction per step
         upos, uheading = polyline.uniform_pose(
-            upath, unpts, TRK_SPACING_M, long, total=total
+            upath_q, unpts, TRK_SPACING_M, long, total=total,
+            scale=UPATH_QUANT, origin=uorigin,
         )
         return state.replace(npc_long=long, npc_speed=speed, npc_acc=acc,
                              npc_dead=dead, npc_upos=upos, npc_uheading=uheading)

@@ -44,6 +44,14 @@ LANE_MAX_PTS = 32
 # fixed-spacing track routes: arc position/heading lookups collapse to one
 # one-hot + roll per step (see ops/polyline.py uniform_pose)
 TRK_SPACING_M = 2.5
+# route points are stored as int16 offsets from the route origin at this
+# quantum: 0.025 m resolution, +-819 m range (a route is at most
+# (256-1)*TRK_SPACING_M = 637.5 m of arc from its origin). Halves the HBM
+# traffic of the per-env route gather + one-hot contractions — the profiled
+# top cost of the reactive step at Waymo scale; 1.25 cm worst-case pose
+# error is far below every consumer's tolerance (IDM gaps, OBB contacts,
+# 2 m despawn radius)
+UPATH_QUANT = 0.025
 
 # TrajectoryIDM spawn eligibility (scenario_traffic_manager.py:30-32)
 IDM_CREATE_SIDE_CONSTRAINT = 15.0
@@ -347,7 +355,11 @@ def build_scenario_pack(sds):
             upath[s, k, :m, 1] = np.interp(ss, arc, pts[:, 1])
             upath[s, k, m:] = upath[s, k, m - 1]
             unpts[s, k] = m
-    pack["trk_upath"] = upath
+    origin = upath[:, :, :1, :].copy()                       # [S,TRK,1,2]
+    q = np.round((upath - origin) / UPATH_QUANT)
+    assert np.abs(q).max(initial=0) < 32767, "route offset exceeds int16 range"
+    pack["trk_uorigin"] = origin[:, :, 0, :]                 # [S,TRK,2]
+    pack["trk_upath_q"] = q.astype(np.int16)                 # [S,TRK,P5,2]
     pack["trk_unpts"] = unpts
     pack["trk_utotal"] = utotal.astype(np.float32)
     return pack

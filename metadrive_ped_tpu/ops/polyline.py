@@ -116,7 +116,7 @@ def total_length(pts, npts, s=None):
     return s[..., -1]
 
 
-def uniform_pose(upath, unpts, spacing, long, total=None):
+def uniform_pose(upath, unpts, spacing, long, total=None, scale=None, origin=None):
     """Pose at arc length `long` on a FIXED-SPACING chord path.
 
     With uniform chords the containing segment is floor(long/spacing) — one
@@ -144,16 +144,24 @@ def uniform_pose(upath, unpts, spacing, long, total=None):
             frac,
         )
     ar = jnp.arange(P)
-    oh0 = (i[..., None] == ar).astype(upath.dtype)
-    oh1 = ((i + 1)[..., None] == ar).astype(upath.dtype)
-    p0 = (oh0[..., None] * upath).sum(-2)
-    p1 = (oh1[..., None] * upath).sum(-2)
+    pts = upath.astype(jnp.float32) if scale is not None else upath
+    oh0 = (i[..., None] == ar).astype(jnp.float32)
+    oh1 = ((i + 1)[..., None] == ar).astype(jnp.float32)
+    p0 = (oh0[..., None] * pts).sum(-2)
+    p1 = (oh1[..., None] * pts).sum(-2)
+    if scale is not None:
+        # quantized path: points are int offsets from `origin`. The one-hot
+        # sums to 1, so dequantization commutes with the contraction — the
+        # reduce reads int16 from HBM and the cheap [.., 2] affine runs after
+        p0 = origin + scale * p0
+        p1 = origin + scale * p1
     pos = p0 + frac[..., None] * (p1 - p0)
     heading = jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
     return pos, heading
 
 
-def uniform_pose_and_ahead(upath, unpts, spacing, long, total, deltas):
+def uniform_pose_and_ahead(upath, unpts, spacing, long, total, deltas,
+                           scale=None, origin=None):
     """uniform_pose PLUS the chord points at indices i+delta, all contracted
     from ONE one-hot pass over P.
 
@@ -182,27 +190,21 @@ def uniform_pose_and_ahead(upath, unpts, spacing, long, total, deltas):
             frac,
         )
     ar = jnp.arange(P)
+    pts = upath.astype(jnp.float32) if scale is not None else upath
 
     def pick(d):
         # uniform_point's index clamp; a fresh small one-hot per delta (NOT a
         # shifted copy of the path — materializing end-shifted [..,P,2]
         # copies cost more than the contractions they fed)
         j = jnp.clip(jnp.minimum(i + d, unpts - 1), 0, P - 1)
-        oh = (j[..., None] == ar).astype(upath.dtype)
-        return (oh[..., None] * upath).sum(-2)
+        oh = (j[..., None] == ar).astype(jnp.float32)
+        p = (oh[..., None] * pts).sum(-2)
+        return origin + scale * p if scale is not None else p
 
     p0, p1 = pick(0), pick(1)
     pos = p0 + frac[..., None] * (p1 - p0)
     heading = jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
     return pos, heading, [pick(d) for d in deltas]
-
-
-def uniform_point(upath, unpts, idx):
-    """Chord point at index `idx` (clamped to the valid range)."""
-    P = upath.shape[-2]
-    j = jnp.clip(jnp.minimum(idx, unpts - 1), 0, P - 1)
-    oh = (j[..., None] == jnp.arange(P)).astype(upath.dtype)
-    return (oh[..., None] * upath).sum(-2)
 
 
 def in_band(pts, npts, pos, half_width):
