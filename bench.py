@@ -110,7 +110,15 @@ def _synthetic_waymo_sd(seed, T=198, n_tracks=64, n_lanes=80, lane_pts=220):
     tracks = {"sdc": track(3, 5.0, 11.0)}
     for k in range(n_tracks):
         col = int(rng.randint(0, n_cols))
-        x0 = float(rng.uniform(0.0, length_m * 0.6))
+        if k % 4 == 1:
+            # a realistic share spawns BEHIND the sdc: these qualify for
+            # TrajectoryIDM (spawn fwd < -1 m, |side| < 15 m, aligned —
+            # scenario_traffic_manager.py:217-235), so the bench actually
+            # exercises the reactive path at scale (~16 IDM cars/scene)
+            col = int(rng.randint(0, 7))
+            x0 = float(rng.uniform(-45.0, 0.0))
+        else:
+            x0 = float(rng.uniform(0.0, length_m * 0.6))
         speed = float(rng.uniform(4.0, 14.0))
         kind = "VEHICLE" if k % 8 else ("PEDESTRIAN" if k % 16 else "CYCLIST")
         tracks[f"o{k}"] = track(col, x0, speed, kind)

@@ -35,12 +35,15 @@ class ScenarioScene:
     trk_len: jnp.ndarray       # [S, TRK]
     trk_wid: jnp.ndarray       # [S, TRK]
     trk_kind: jnp.ndarray      # [S, TRK] TRK_* codes
-    trk_first_t: jnp.ndarray   # [S, TRK] first recorded-valid timestep
+    trk_first_t: jnp.ndarray   # [S, KR] first recorded-valid timestep
     # TrajectoryIDM eligibility, precomputed against the recorded sdc pose at
     # the track's first valid step (scenario_traffic_manager.py:217-235:
     # route > 5 m, spawns behind the ego within 15 m laterally, heading
-    # within pi/2)
-    trk_reactive_ok: jnp.ndarray  # [S, TRK] bool
+    # within pi/2). Eligible tracks sort FIRST on the track axis and the
+    # reactive tables cover only the leading KR slots (KR = max eligible
+    # count, rounded up to the act-batch size) — the reference instantiates
+    # IDM policies per eligible vehicle only
+    trk_reactive_ok: jnp.ndarray  # [S, KR] bool
     scenario_len: jnp.ndarray  # [S] valid timesteps
     # map-feature lane network (ScenarioMap builds ScenarioLane PointLanes
     # from map_features, component/map/scenario_map.py:9 +
@@ -69,13 +72,15 @@ class ScenarioScene:
     # Stored as int16 offsets from trk_uorigin at UPATH_QUANT resolution so
     # the per-env gather + contractions move half the bytes (TPU HBM is the
     # bottleneck); dequantization fuses into the one-hot reduce
-    trk_upath_q: jnp.ndarray      # [S, TRK, P5, 2] int16
-    trk_uorigin: jnp.ndarray      # [S, TRK, 2] float32
-    trk_unpts: jnp.ndarray        # [S, TRK]
-    trk_utotal: jnp.ndarray       # [S, TRK]
+    trk_upath_q: jnp.ndarray      # [S, KR, P5, 2] int16
+    trk_uorigin: jnp.ndarray      # [S, KR, 2] float32
+    trk_unpts: jnp.ndarray        # [S, KR]
+    trk_utotal: jnp.ndarray       # [S, KR]
     trk_pos_t: jnp.ndarray        # [S*T, TRK, 2]
     trk_heading_t: jnp.ndarray    # [S*T, TRK]
     trk_valid_t: jnp.ndarray      # [S*T, TRK]
+    trk_speed_t: jnp.ndarray      # [S*T, TRK] recorded body speed (IDM front
+                                  # candidates expose their true speed)
     light_status_t: jnp.ndarray   # [S*T, LG]
     sdc_pos_t: jnp.ndarray        # [S*T, 2]
     sdc_heading_t: jnp.ndarray    # [S*T]

@@ -224,10 +224,10 @@ class ScenarioEnv:
             break_down=jnp.zeros(E, bool),
             params=make_vehicle_params(jnp.full((E,), DEFAULT_CLASS_IDX, jnp.int32)),
         )
-        TRK = scene.max_tracks
-        # pose at arc 0 of each track's route: the origin (chord 0 == the
+        KR = scene.trk_unpts.shape[1]  # compact reactive axis (eligible slots)
+        # pose at arc 0 of each reactive route: the origin (chord 0 == the
         # quantization origin) and the dequantized chord 1 — small row
-        # gathers, NOT a full [E,TRK,P,2] gather; _spawn is traced inside
+        # gathers, NOT a full [E,KR,P,2] gather; _spawn is traced inside
         # the step for auto-reset rows
         from metadrive_ped_tpu.mapgen.scenario_scene import UPATH_QUANT
         p0 = scene.trk_uorigin[sidx]
@@ -238,8 +238,8 @@ class ScenarioEnv:
             episode_reward=zeros, episode_cost=zeros,
             scenario_cap=jnp.full((E,), self.num_scenarios, jnp.int32), ego=ego,
             last_long=zeros, cur_long=zeros, cur_lat=zeros,
-            npc_long=jnp.zeros((E, TRK)), npc_speed=jnp.zeros((E, TRK)),
-            npc_acc=jnp.zeros((E, TRK)), npc_dead=jnp.zeros((E, TRK), bool),
+            npc_long=jnp.zeros((E, KR)), npc_speed=jnp.zeros((E, KR)),
+            npc_acc=jnp.zeros((E, KR)), npc_dead=jnp.zeros((E, KR), bool),
             npc_upos=p0, npc_uheading=uheading,
             phase=jnp.int32(0),
         )
@@ -271,20 +271,33 @@ class ScenarioEnv:
             # TrajectoryIDM vehicles follow their recorded route with IDM
             # speed control (idm_policy.py:426-493). Eligibility was
             # precomputed per track (route > 5 m, spawned behind the ego —
-            # scenario_traffic_manager.py:217-235); everything else replays.
-            # The route pose is CARRIED in the state (npc_upos invariant) —
-            # no one-hot contraction here.
+            # scenario_traffic_manager.py:217-235) and eligible tracks sort
+            # FIRST on the track axis, so the reactive overlay only touches
+            # the leading KR slots; everything else replays. The route pose
+            # is CARRIED in the state (npc_upos invariant) — no one-hot
+            # contraction here.
+            K = pos.shape[1]
+            KR = scene.trk_unpts.shape[1]
+            KRT = min(KR, K)
             unpts = scene.trk_unpts[sidx]
-            p_pos, p_heading = state.npc_upos, state.npc_uheading
-            reactive = scene.trk_reactive_ok[sidx]
-            pos = jnp.where(reactive[..., None], p_pos, pos)
-            heading = jnp.where(reactive, p_heading, heading)
+            reactive = scene.trk_reactive_ok[sidx]              # [E,KR]
             # reactive cars spawn at their recorded first-valid step and
             # despawn at arrive_destination (npc_dead)
             spawned = state.step_count[:, None] >= scene.trk_first_t[sidx]
-            active = jnp.where(
-                reactive, spawned & ~state.npc_dead & (unpts > 1), active
-            )
+            r_active = reactive & spawned & ~state.npc_dead & (unpts > 1)
+            ov = reactive[:, :KRT]
+            pos = jnp.concatenate([
+                jnp.where(ov[..., None], state.npc_upos[:, :KRT], pos[:, :KRT]),
+                pos[:, KRT:],
+            ], axis=1)
+            heading = jnp.concatenate([
+                jnp.where(ov, state.npc_uheading[:, :KRT], heading[:, :KRT]),
+                heading[:, KRT:],
+            ], axis=1)
+            active = jnp.concatenate([
+                jnp.where(ov, r_active[:, :KRT], active[:, :KRT]),
+                active[:, KRT:],
+            ], axis=1)
         if self.config["no_traffic"]:
             # nothing spawns at all (scenario_env.py:44 + manager gate :122)
             active = jnp.zeros_like(active)
@@ -307,36 +320,49 @@ class ScenarioEnv:
         - arrive_destination: a car within DEST_REGION_RADIUS of its route
           end is cleaned (idm_policy.py:449-455 + manager before_step).
 
-        The probe chain + front-gap search run ONLY for the fresh batch: the
-        track axis is padded to a multiple of IDM_ACT_BATCH_SIZE so the
-        batch is one dynamic slice [E, TRK/5, ...] — 5x less pairwise work
-        than masking a full-width computation.
+        The IDM state lives on the compact KR axis (eligible tracks sort
+        first; the reference instantiates IDM policies per eligible vehicle
+        only), and the probe chain + front-gap search run ONLY for the
+        fresh act batch — one dynamic slice [E, KR/5, ...].
         """
         from metadrive_ped_tpu.constants import BICYCLE_REF_ACCEL
         from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M, UPATH_QUANT
         from metadrive_ped_tpu.ops.idm import idm_acceleration
         scene, sidx = self.scene, state.sidx
-        E, TRK = state.npc_long.shape
-        upath_q = scene.trk_upath_q[sidx]        # [E,TRK,P,2] int16 (half the bytes)
-        uorigin = scene.trk_uorigin[sidx]        # [E,TRK,2]
+        E, KR = state.npc_long.shape
+        upath_q = scene.trk_upath_q[sidx]        # [E,KR,P,2] int16 (half the bytes)
+        uorigin = scene.trk_uorigin[sidx]        # [E,KR,2]
         unpts = scene.trk_unpts[sidx]
         total = scene.trk_utotal[sidx]
 
         # candidates at their ACTUAL current pose (replay or reactive); the
         # reactive route pose comes from the carried state invariant
         cand_pos, _, cand_active = self._npc_pose(state)
+        K = cand_pos.shape[1]
+        KRT = min(KR, K)
         cand = jnp.concatenate([cand_pos, ego.pos[:, None]], axis=1)      # [E,C,2]
         cand_active = jnp.concatenate(
             [cand_active, jnp.ones((E, 1), bool)], axis=1
         )
-        cand_speed = jnp.concatenate([state.npc_speed, ego.speed[:, None]], axis=1)
+        # candidate speeds: live IDM speed for reactive slots, RECORDED body
+        # speed for replayed tracks (the reference's front object is a
+        # kinematic body whose velocity is force-set from the log each frame)
+        T = scene.trk_pos.shape[2]
+        flat = sidx * T + jnp.clip(state.step_count, 0, T - 1)
+        rec_speed = scene.trk_speed_t[flat]                               # [E,K]
+        reactive = scene.trk_reactive_ok[sidx]                            # [E,KR]
+        spd = jnp.concatenate([
+            jnp.where(reactive[:, :KRT], state.npc_speed[:, :KRT], rec_speed[:, :KRT]),
+            rec_speed[:, KRT:],
+        ], axis=1)
+        cand_speed = jnp.concatenate([spd, ego.speed[:, None]], axis=1)
         cand_wid = jnp.concatenate(
             [scene.trk_wid[sidx], ego.params.width[:, None]], axis=1
         )
 
         # ---- fresh act batch: tracks k == phase (mod ACT) as ONE slice ----
         ACT = IDM_ACT_BATCH_SIZE
-        G = TRK // ACT
+        G = KR // ACT
         phase = state.phase
 
         def sub(x):
@@ -382,8 +408,9 @@ class ScenarioEnv:
         # width plus the body's half width
         on_route = dist_lat < (1.0 + cand_wid[:, None, :, None] / 2)
         # candidate c is the probing track itself when c == g*ACT + phase
+        # (reactive slots are the PREFIX of the full track axis)
         ks = jnp.arange(G) * ACT + phase                                   # [G]
-        not_self = jnp.arange(TRK + 1)[None, :] != ks[:, None]             # [G,C]
+        not_self = jnp.arange(K + 1)[None, :] != ks[:, None]               # [G,C]
         valid = (
             on_route & cand_active[:, None, :, None]
             & not_self[None, :, :, None] & (long_c > 0.1)
@@ -409,7 +436,7 @@ class ScenarioEnv:
         # commit the fresh batch; other tracks replay their committed value
         acc = jax.lax.dynamic_update_slice_in_dim(
             state.npc_acc.reshape(E, G, ACT), acc_sub[..., None], phase, axis=2
-        ).reshape(E, TRK)
+        ).reshape(E, KR)
 
         # acceleration -> speed exactly like a throttle on the bicycle model
         # (before_step clips the action; full throttle = BICYCLE_REF_ACCEL)

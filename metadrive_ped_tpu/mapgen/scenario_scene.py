@@ -126,7 +126,7 @@ def compile_scenario(sd):
     sdc_heading_all = np.asarray(sdc_state[SD.HEADING], np.float32)
 
     trk_pos, trk_heading, trk_valid, trk_len, trk_wid, trk_kind = [], [], [], [], [], []
-    trk_first_t, trk_reactive_ok = [], []
+    trk_first_t, trk_reactive_ok, trk_speed = [], [], []
     for tid, tr in tracks.items():
         if tid == sdc_id:
             continue
@@ -168,6 +168,17 @@ def compile_scenario(sd):
             and abs(hdiff) < math.pi / 2
         )
 
+        # recorded body speed per frame (IDM front-gap reads the true speed
+        # of replayed candidates, like the reference's front_obj.speed on a
+        # kinematic body); derived from positions when velocity is absent
+        if "velocity" in st:
+            vel = np.asarray(st["velocity"], np.float32)[:T, :2]
+            speed = np.sqrt((vel ** 2).sum(-1))
+        else:
+            dt_rec = 0.1
+            speed = np.sqrt(
+                (np.gradient(pos, axis=0) ** 2).sum(-1)
+            ) / dt_rec
         trk_pos.append(pad_t(pos))
         trk_heading.append(pad_t(heading))
         trk_valid.append(pad_t(valid, False))
@@ -176,7 +187,17 @@ def compile_scenario(sd):
         trk_kind.append(kind)
         trk_first_t.append(first_t)
         trk_reactive_ok.append(reactive_ok)
+        trk_speed.append(pad_t(speed.astype(np.float32)))
     TRK = len(trk_pos)
+
+    # reactive-ELIGIBLE tracks first (stable order otherwise): the env keeps
+    # TrajectoryIDM state only for the leading KR slots — the reference
+    # instantiates IDM policies only for eligible vehicles
+    # (scenario_traffic_manager.py:217-235); everything else pure-replays
+    order = sorted(range(TRK), key=lambda k: not trk_reactive_ok[k])
+    for lst in (trk_pos, trk_heading, trk_valid, trk_len, trk_wid, trk_kind,
+                trk_first_t, trk_reactive_ok, trk_speed):
+        lst[:] = [lst[k] for k in order]
 
     # traffic lights (dynamic_map_states; reference:
     # manager/scenario_light_manager.py — stop point + per-step status)
@@ -244,6 +265,7 @@ def compile_scenario(sd):
         trk_pos=np.asarray(trk_pos, np.float32).reshape(TRK, T, 2),
         trk_heading=np.asarray(trk_heading, np.float32).reshape(TRK, T),
         trk_valid=np.asarray(trk_valid, bool).reshape(TRK, T),
+        trk_speed=np.asarray(trk_speed, np.float32).reshape(TRK, T),
         trk_len=np.asarray(trk_len, np.float32), trk_wid=np.asarray(trk_wid, np.float32),
         trk_kind=np.asarray(trk_kind, np.int32),
         trk_first_t=np.asarray(trk_first_t, np.int32).reshape(TRK),
@@ -284,21 +306,6 @@ def build_scenario_pack(sds):
         else:
             pack[k] = np.stack([_pad_to_shape(a, max_shape[k]) for a in arrs])
 
-    # pad the track axis to a multiple of the IDM act-batch size: the
-    # reactive step slices the fresh act batch as [S, TRK/5, ...] (tracks
-    # k == phase mod 5), which needs TRK % 5 == 0; padded slots are
-    # permanently invalid
-    from metadrive_ped_tpu.envs.scenario_env import IDM_ACT_BATCH_SIZE
-    TRK0 = pack["trk_pos"].shape[1]
-    pad_k = (-TRK0) % IDM_ACT_BATCH_SIZE
-    if pad_k:
-        for k in ("trk_pos", "trk_heading", "trk_valid", "trk_len", "trk_wid",
-                  "trk_kind", "trk_first_t", "trk_reactive_ok"):
-            a = pack[k]
-            pw = [(0, 0)] * a.ndim
-            pw[1] = (0, pad_k)
-            pack[k] = np.pad(a, pw)
-
     # static arc-length tables — computed once here so the jit'd step never
     # re-runs the cumsum over T/PT (polyline.* accept them via s=)
     def np_arc(pts, npts):
@@ -329,18 +336,33 @@ def build_scenario_pack(sds):
     assert LT == T, f"light horizon {LT} != track horizon {T}"
     pack["light_status_t"] = np.ascontiguousarray(
         np.moveaxis(pack["light_status"], 2, 1)).reshape(S * T, LG)
+    pack["trk_speed_t"] = np.ascontiguousarray(
+        np.moveaxis(pack["trk_speed"], 2, 1)).reshape(S * T, TRK)
+    del pack["trk_speed"]
     pack["sdc_pos_t"] = pack["sdc_track_pos"].reshape(S * T, 2)
     pack["sdc_heading_t"] = pack["sdc_track_heading"].reshape(S * T)
 
-    # fixed-spacing resampled routes for the reactive-traffic path: with
-    # uniform chords, arc->point lookup is floor(long/spacing) — one one-hot
-    # serves position, heading, and every +k*spacing probe (rolled masks)
-    utotal = pack["trk_arclen"].max(axis=-1)                       # [S,TRK]
-    P5 = int(np.clip(np.ceil(utotal.max() / TRK_SPACING_M) + 2, 4, 256))
-    upath = np.zeros((S, TRK, P5, 2), np.float32)
-    unpts = np.zeros((S, TRK), np.int32)
+    # compact reactive axis: TrajectoryIDM state exists only for the KR
+    # ELIGIBLE slots (sorted first in compile_scenario) — the reference
+    # instantiates IDM policies per eligible vehicle only; everything else
+    # replays. KR rounds up to the act-batch size so the fresh batch is one
+    # dynamic slice [S, KR/5, ...]
+    from metadrive_ped_tpu.envs.scenario_env import IDM_ACT_BATCH_SIZE
+    n_elig = int(pack["trk_reactive_ok"].sum(axis=1).max(initial=0))
+    KR = ((max(n_elig, 1) + IDM_ACT_BATCH_SIZE - 1)
+          // IDM_ACT_BATCH_SIZE) * IDM_ACT_BATCH_SIZE
+    KRT = min(KR, TRK)  # overlay width onto the full track axis
+
+    # fixed-spacing resampled routes for the KR reactive slots: with uniform
+    # chords, arc->point lookup is floor(long/spacing) — one one-hot serves
+    # position, heading, and every +k*spacing probe
+    utotal = np.zeros((S, KR), np.float32)
+    utotal[:, :KRT] = pack["trk_arclen"][:, :KRT].max(axis=-1)
+    P5 = int(np.clip(np.ceil(utotal.max(initial=0.0) / TRK_SPACING_M) + 2, 4, 256))
+    upath = np.zeros((S, KR, P5, 2), np.float32)
+    unpts = np.zeros((S, KR), np.int32)
     for s in range(S):
-        for k in range(TRK):
+        for k in range(KRT):
             n = int(trk_npts[s, k])
             if n < 2:
                 upath[s, k] = pack["trk_pos"][s, k, 0]
@@ -355,11 +377,19 @@ def build_scenario_pack(sds):
             upath[s, k, :m, 1] = np.interp(ss, arc, pts[:, 1])
             upath[s, k, m:] = upath[s, k, m - 1]
             unpts[s, k] = m
-    origin = upath[:, :, :1, :].copy()                       # [S,TRK,1,2]
+    origin = upath[:, :, :1, :].copy()                       # [S,KR,1,2]
     q = np.round((upath - origin) / UPATH_QUANT)
     assert np.abs(q).max(initial=0) < 32767, "route offset exceeds int16 range"
-    pack["trk_uorigin"] = origin[:, :, 0, :]                 # [S,TRK,2]
-    pack["trk_upath_q"] = q.astype(np.int16)                 # [S,TRK,P5,2]
+    pack["trk_uorigin"] = origin[:, :, 0, :]                 # [S,KR,2]
+    pack["trk_upath_q"] = q.astype(np.int16)                 # [S,KR,P5,2]
     pack["trk_unpts"] = unpts
     pack["trk_utotal"] = utotal.astype(np.float32)
+    # KR-sized eligibility/spawn tables for the reactive path (zero-padded
+    # past the real track axis when TRK < KR)
+    def _kr(a, fill=0):
+        out = np.full((S, KR), fill, a.dtype)
+        out[:, :KRT] = a[:, :KRT]
+        return out
+    pack["trk_reactive_ok"] = _kr(pack["trk_reactive_ok"], False)
+    pack["trk_first_t"] = _kr(pack["trk_first_t"])
     return pack
