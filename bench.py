@@ -151,8 +151,9 @@ def main():
     args = p.parse_args()
 
     # measured on v5e: pg 3.05M at 8192 (2.90M at 4096); safe 2.06M at 4096
-    # (869k at 1024); scenario 1.17M at 1024 (751k at 512)
-    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 1024,
+    # (869k at 1024); scenario (Waymo-scale, ~17 IDM cars/scene) 1.03M at
+    # 2048 (918k at 1024); scenario_recorded 1.17M at 1024
+    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 2048,
                     "scenario_recorded": 1024}
     num_envs = args.num_envs or (256 if args.quick else default_envs[args.config])
     steps = args.steps or (30 if args.quick else 200)
