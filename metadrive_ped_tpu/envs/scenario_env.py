@@ -134,6 +134,7 @@ class ScenarioEnv:
             pack["lane_pts"].shape[1], pack["trk_pos"].shape[2],
         )
         self._has_lanes = bool(np.any(pack["lane_valid"]))
+        self._sds = sds  # raw SDs for host-side map introspection
         self.scene = ScenarioScene.from_pack(pack)
         self.num_envs = cfg["num_envs"]
         self._state = None
@@ -162,6 +163,15 @@ class ScenarioEnv:
 
     def close(self):
         self._state = None
+
+    def edge_network(self, scenario_index=0):
+        """EdgeRoadNetwork of one loaded scenario's raw map — lane-indexed
+        graph with entry/exit/neighbor adjacency and BFS routing (the
+        reference ScenarioMap's road_network, scenario_map.py +
+        edge_road_network.py). Host-side introspection; the jit'd step uses
+        the compiled lane arrays."""
+        from metadrive_ped_tpu.mapgen.edge_network import build_edge_network
+        return build_edge_network(self._sds[scenario_index])
 
     def rollout(self, n_steps, policy_fn=None, actions=None, collect=("reward",)):
         """Run n_steps on-device via lax.scan — no per-step host dispatch

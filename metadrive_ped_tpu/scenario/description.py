@@ -37,6 +37,15 @@ class ScenarioDescription(dict):
     SDC_ID = "sdc_id"
     OBJECT_ID = "object_id"
     POLYLINE = "polyline"
+    # map-feature lane adjacency (scenario_description.py:138-145) — the
+    # raw-map representation EdgeRoadNetwork consumes
+    POLYGON = "polygon"
+    LEFT_BOUNDARIES = "left_boundaries"
+    RIGHT_BOUNDARIES = "right_boundaries"
+    LEFT_NEIGHBORS = "left_neighbor"
+    RIGHT_NEIGHBORS = "right_neighbor"
+    ENTRY = "entry_lanes"
+    EXIT = "exit_lanes"
 
     COORDINATE_METADRIVE = "metadrive"
 
