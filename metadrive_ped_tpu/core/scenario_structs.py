@@ -81,6 +81,9 @@ class ScenarioScene:
     trk_valid_t: jnp.ndarray      # [S*T, TRK]
     trk_speed_t: jnp.ndarray      # [S*T, TRK] recorded body speed (IDM front
                                   # candidates expose their true speed)
+    trk_spawn_speed: jnp.ndarray  # [S, KR] recorded speed at first_t —
+                                  # reactive cars start at their recorded
+                                  # velocity like log-spawned IDM vehicles
     light_status_t: jnp.ndarray   # [S*T, LG]
     sdc_pos_t: jnp.ndarray        # [S*T, 2]
     sdc_heading_t: jnp.ndarray    # [S*T]

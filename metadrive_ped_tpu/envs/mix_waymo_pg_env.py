@@ -35,6 +35,7 @@ class MixWaymoPGEnv:
         cfg = dict(config or {})
         num_envs = cfg.pop("num_envs", 16)
         num_scenarios = cfg.pop("num_scenarios", None)
+        block_num = cfg.pop("block_num", 1)  # PG map size (reference :42)
         shared = {
             k: v for k, v in cfg.items()
             if k not in self.PG_KEYS + self.SCENARIO_KEYS
@@ -46,7 +47,7 @@ class MixWaymoPGEnv:
         # PG defaults of the reference config (mix_waymo_pg_env.py:33-47)
         pg_cfg.setdefault("traffic_density", 0.2)
         pg_cfg.setdefault("traffic_mode", "hybrid")
-        pg_cfg.setdefault("map", cfg.get("block_num", 1))
+        pg_cfg.setdefault("map", block_num)
         self.scenario_env = ScenarioEnv(sc_cfg)
         self.pg_env = MetaDriveEnv(pg_cfg)
         if num_scenarios is None:

@@ -248,7 +248,7 @@ class ScenarioEnv:
             episode_reward=zeros, episode_cost=zeros,
             scenario_cap=jnp.full((E,), self.num_scenarios, jnp.int32), ego=ego,
             last_long=zeros, cur_long=zeros, cur_lat=zeros,
-            npc_long=jnp.zeros((E, KR)), npc_speed=jnp.zeros((E, KR)),
+            npc_long=jnp.zeros((E, KR)), npc_speed=scene.trk_spawn_speed[sidx],
             npc_acc=jnp.zeros((E, KR)), npc_dead=jnp.zeros((E, KR), bool),
             npc_upos=p0, npc_uheading=uheading,
             phase=jnp.int32(0),
@@ -335,7 +335,7 @@ class ScenarioEnv:
         only), and the probe chain + front-gap search run ONLY for the
         fresh act batch — one dynamic slice [E, KR/5, ...].
         """
-        from metadrive_ped_tpu.constants import BICYCLE_REF_ACCEL
+        from metadrive_ped_tpu.constants import BICYCLE_REF_ACCEL, BICYCLE_REF_BRAKE
         from metadrive_ped_tpu.mapgen.scenario_scene import TRK_SPACING_M, UPATH_QUANT
         from metadrive_ped_tpu.ops.idm import idm_acceleration
         scene, sidx = self.scene, state.sidx
@@ -449,13 +449,29 @@ class ScenarioEnv:
         ).reshape(E, KR)
 
         # acceleration -> speed exactly like a throttle on the bicycle model
-        # (before_step clips the action; full throttle = BICYCLE_REF_ACCEL)
+        # (before_step clips the action; full throttle = BICYCLE_REF_ACCEL).
+        # Integration is gated on the SPAWN step: a late-spawning IDM car
+        # holds its recorded spawn speed at arc 0 until step >= first_t —
+        # the reference creates the vehicle at its recorded state then
+        # (scenario_traffic_manager.py spawn path), it does not pre-roll
+        spawned = state.step_count[:, None] >= scene.trk_first_t[sidx]
         dt = self.config["physics_world_step_size"] * self.config["decision_repeat"]
-        speed = jnp.clip(
-            state.npc_speed + jnp.clip(acc, -1.0, 1.0) * BICYCLE_REF_ACCEL * dt,
-            0.0, 80.0 / 3.6,
+        # throttle semantics of the bicycle model: positive scales to the
+        # 3 m/s^2 engine gain, negative to the 9 m/s^2 brake gain
+        # (bicycle_model.py:29-36) — braking at the engine gain made IDM
+        # cars spawned at recorded speed unable to stop for a parked body
+        thr = jnp.clip(acc, -1.0, 1.0)
+        accel_ms2 = jnp.where(
+            thr >= 0, thr * BICYCLE_REF_ACCEL, thr * BICYCLE_REF_BRAKE
         )
-        long = jnp.minimum(state.npc_long + speed * dt, total)
+        speed = jnp.where(
+            spawned,
+            jnp.clip(state.npc_speed + accel_ms2 * dt, 0.0, 80.0 / 3.6),
+            state.npc_speed,
+        )
+        long = jnp.where(
+            spawned, jnp.minimum(state.npc_long + speed * dt, total), state.npc_long
+        )
         # arrive_destination within 2 m of the route end, measured along the
         # arc (== the reference's euclidean end-region radius at route ends)
         dead = state.npc_dead | (total - long < DEST_REGION_RADIUS)

@@ -116,6 +116,9 @@ def check_lane_on_road(road_network, lane, positive=0.0, ignored=None,
     if ignore_intersection_checking:
         return True
     graph = road_network.graph
+    # the candidate lane's box is loop-invariant — hoisted (the reference
+    # recomputes it per road; value-identical)
+    x_max_2, x_min_2, y_max_2, y_min_2 = get_lanes_bounding_box([lane])
     for _from, to_dict in graph.items():
         for _to, lanes in to_dict.items():
             if ignored and (_from, _to) == ignored:
@@ -125,7 +128,6 @@ def check_lane_on_road(road_network, lane, positive=0.0, ignored=None,
             if len(lanes) == 0:
                 continue
             x_max_1, x_min_1, y_max_1, y_min_1 = get_lanes_bounding_box(lanes)
-            x_max_2, x_min_2, y_max_2, y_min_2 = get_lanes_bounding_box([lane])
             if x_min_1 > x_max_2 or x_min_2 > x_max_1 or y_min_1 > y_max_2 or y_min_2 > y_max_1:
                 continue
             for l in lanes:

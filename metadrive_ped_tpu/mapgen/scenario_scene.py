@@ -170,15 +170,23 @@ def compile_scenario(sd):
 
         # recorded body speed per frame (IDM front-gap reads the true speed
         # of replayed candidates, like the reference's front_obj.speed on a
-        # kinematic body); derived from positions when velocity is absent
+        # kinematic body); derived from positions when velocity is absent —
+        # finite differences over VALID frames only: a gradient across the
+        # zero-filled invalid padding invents huge spurious speeds exactly
+        # at the frames a track becomes a valid candidate
         if "velocity" in st:
             vel = np.asarray(st["velocity"], np.float32)[:T, :2]
             speed = np.sqrt((vel ** 2).sum(-1))
         else:
             dt_rec = 0.1
-            speed = np.sqrt(
-                (np.gradient(pos, axis=0) ** 2).sum(-1)
-            ) / dt_rec
+            speed = np.zeros(len(pos), np.float32)
+            idx = np.flatnonzero(valid)
+            if len(idx) >= 2:
+                vp = pos[idx]
+                d = (np.linalg.norm(np.diff(vp, axis=0), axis=1)
+                     / (np.diff(idx) * dt_rec))
+                speed[idx[1:]] = d
+                speed[idx[0]] = d[0]
         trk_pos.append(pad_t(pos))
         trk_heading.append(pad_t(heading))
         trk_valid.append(pad_t(valid, False))
@@ -392,4 +400,13 @@ def build_scenario_pack(sds):
         return out
     pack["trk_reactive_ok"] = _kr(pack["trk_reactive_ok"], False)
     pack["trk_first_t"] = _kr(pack["trk_first_t"])
+    # recorded speed at the spawn frame: reactive cars start at their
+    # recorded velocity like the reference's log-spawned IDM vehicles
+    spawn_speed = np.take_along_axis(
+        pack["trk_speed_t"].reshape(S, T, TRK)[:, :, :KRT],
+        np.minimum(pack["trk_first_t"][:, :KRT], T - 1)[:, None, :], axis=1
+    )[:, 0, :]
+    out = np.zeros((S, KR), np.float32)
+    out[:, :KRT] = spawn_speed
+    pack["trk_spawn_speed"] = out
     return pack

@@ -150,9 +150,10 @@ def checkpoint_positions(scene, sidx, slot, route_idx):
     get_checkpoints) — used by the TinyInter CommunicationObservation's
     add_others_navi slots (tinyinter.py:174-186)."""
     lane0, nlanes, next_lane0, has_next = _ref_lane_ids(scene, sidx, slot, route_idx)
-    lane_width = scene.lane_width[sidx, lane0]
-    later_middle = (nlanes.astype(jnp.float32) / 2 - 0.5) * lane_width
     g1 = lane_geom.gather_lane(scene, sidx, lane0)
+    # width via the one-hot table lookup gather_lane already did — not a
+    # pointwise [sidx, lane0] fancy gather (TPU scalar-gather slow path)
+    later_middle = (nlanes.astype(jnp.float32) / 2 - 0.5) * g1["width"]
     ck1 = lane_geom.position(g1, g1["length"], later_middle)
     ref2 = jnp.where(has_next, next_lane0, lane0)
     g2 = lane_geom.gather_lane(scene, sidx, ref2)

@@ -116,6 +116,24 @@ def total_length(pts, npts, s=None):
     return s[..., -1]
 
 
+def _chord_index_frac(P, unpts, spacing, long, total):
+    """Containing chord index + interpolation fraction on a fixed-spacing
+    path, with the last (short) chord's fraction renormalized against the
+    true route total so end-of-route poses land on the recorded endpoint."""
+    i = jnp.floor(long / spacing).astype(jnp.int32)
+    i = jnp.clip(jnp.minimum(i, unpts - 2), 0, P - 2)
+    frac = jnp.clip(long / spacing - i, 0.0, 1.0)
+    if total is not None:
+        last_i = jnp.maximum(unpts - 2, 0)
+        last_span = jnp.maximum(total - last_i.astype(total.dtype) * spacing, 1e-6)
+        frac = jnp.where(
+            i == last_i,
+            jnp.clip((long - i.astype(total.dtype) * spacing) / last_span, 0.0, 1.0),
+            frac,
+        )
+    return i, frac
+
+
 def uniform_pose(upath, unpts, spacing, long, total=None, scale=None, origin=None):
     """Pose at arc length `long` on a FIXED-SPACING chord path.
 
@@ -132,17 +150,7 @@ def uniform_pose(upath, unpts, spacing, long, total=None, scale=None, origin=Non
     chord.
     """
     P = upath.shape[-2]
-    i = jnp.floor(long / spacing).astype(jnp.int32)
-    i = jnp.clip(jnp.minimum(i, unpts - 2), 0, P - 2)
-    frac = jnp.clip(long / spacing - i, 0.0, 1.0)
-    if total is not None:
-        last_i = jnp.maximum(unpts - 2, 0)
-        last_span = jnp.maximum(total - last_i.astype(total.dtype) * spacing, 1e-6)
-        frac = jnp.where(
-            i == last_i,
-            jnp.clip((long - i.astype(total.dtype) * spacing) / last_span, 0.0, 1.0),
-            frac,
-        )
+    i, frac = _chord_index_frac(P, unpts, spacing, long, total)
     ar = jnp.arange(P)
     pts = upath.astype(jnp.float32) if scale is not None else upath
     oh0 = (i[..., None] == ar).astype(jnp.float32)
@@ -178,17 +186,7 @@ def uniform_pose_and_ahead(upath, unpts, spacing, long, total, deltas,
     Returns (pos [.., 2], heading [..], [points at i+d for d in deltas]).
     """
     P = upath.shape[-2]
-    i = jnp.floor(long / spacing).astype(jnp.int32)
-    i = jnp.clip(jnp.minimum(i, unpts - 2), 0, P - 2)
-    frac = jnp.clip(long / spacing - i, 0.0, 1.0)
-    if total is not None:
-        last_i = jnp.maximum(unpts - 2, 0)
-        last_span = jnp.maximum(total - last_i.astype(total.dtype) * spacing, 1e-6)
-        frac = jnp.where(
-            i == last_i,
-            jnp.clip((long - i.astype(total.dtype) * spacing) / last_span, 0.0, 1.0),
-            frac,
-        )
+    i, frac = _chord_index_frac(P, unpts, spacing, long, total)
     ar = jnp.arange(P)
     pts = upath.astype(jnp.float32) if scale is not None else upath
 
