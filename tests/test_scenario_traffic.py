@@ -135,6 +135,32 @@ def test_staggered_act_batches_commit_every_5_steps():
     assert accs[0] != accs[5] or accs[5] != accs[10]
 
 
+def test_late_spawn_holds_until_first_valid_step_with_recorded_speed():
+    """A reactive car whose track becomes valid at t=20 must not pre-roll:
+    it waits at arc 0, then departs at its RECORDED spawn speed (the
+    reference creates the IDM vehicle at its logged state at first_t,
+    scenario_traffic_manager.py spawn path)."""
+    sd = _straight_sd(npc_speed=1.0)  # 10 m/s recorded
+    sd["tracks"]["npc0"]["state"]["valid"][:20] = False
+    env = ScenarioEnv(dict(
+        num_envs=1, scenario_data=[sd], reactive_traffic=True,
+        auto_reset=False, sequential_seed=True,
+    ))
+    env.reset(seed=0)
+    assert float(np.asarray(env.scene.trk_spawn_speed)[0, 0]) > 5.0
+    for _ in range(10):
+        env.step(np.array([[0.0, 0.5]], np.float32))
+    st = env._state
+    assert float(np.asarray(st.npc_long)[0, 0]) == 0.0, "must not move pre-spawn"
+    # inactive for lidar/contacts until first_t
+    assert not bool(np.asarray(env._npc_pose(st)[2])[0, 0])
+    for _ in range(20):
+        env.step(np.array([[0.0, 0.5]], np.float32))
+    st = env._state
+    assert float(np.asarray(st.npc_long)[0, 0]) > 5.0, "moves after spawn"
+    assert float(np.asarray(st.npc_speed)[0, 0]) > 5.0, "carries recorded speed"
+
+
 def _arc_lane(radius=30.0, n=40):
     th = np.linspace(-np.pi / 2, 0.0, n)
     return np.stack(
