@@ -432,7 +432,11 @@ class ScenarioEnv:
         # first-match one-hot — the cumsum of the one-hot lowered to a
         # depthwise convolution (reduce_window) that alone cost ~1 ms/step
         # at Waymo scale; exact-distance ties between distinct bodies are
-        # measure-zero, and ties resolve to the slowest (most conservative)
+        # measure-zero on real data, and ties resolve to the slowest (most
+        # conservative). Synthetic scenes with duplicated/stacked tracks CAN
+        # tie deterministically and then brake harder than a first-match
+        # pick would; if replay determinism against pre-change traces ever
+        # matters, add a tiny index-based epsilon to fgap instead.
         front_speed = jnp.where(
             fgap <= front_dist[..., None, None], cand_speed[:, None, :, None], jnp.inf
         ).min(axis=(2, 3))
@@ -815,7 +819,13 @@ class ScenarioEnv:
             )
 
         # advance the global act-batch phase (scalar — untouched by the
-        # per-env auto-reset merge above)
+        # per-env auto-reset merge above). Divergence: because the phase is
+        # global, a freshly auto-reset env's IDM cars refresh at a different
+        # offset relative to its episode_step than the reference's per-car
+        # round-robin; every car still refreshes exactly once per
+        # IDM_ACT_BATCH_SIZE steps, so the policy frequency matches. If
+        # per-episode determinism is ever needed, derive the phase from a
+        # designated env's step_count (or pay for per-env phase masks).
         state = state.replace(phase=(state.phase + 1) % IDM_ACT_BATCH_SIZE)
 
         obs = self._observe(state, cached=(long, lat, traj_heading, npc_pose))

@@ -133,7 +133,14 @@ class EdgeRoadNetwork:
 
     def bfs_paths(self, start, goal):
         """BFS over exit_lanes, seeded with the start lane AND its immediate
-        left/right neighbors (edge_road_network.py:72-87)."""
+        left/right neighbors (edge_road_network.py:72-87).
+
+        Divergence: seed lanes whose ids are missing from the graph are
+        silently dropped (``if lane in self.graph``), whereas the reference
+        yields [] for an unknown lane — and then KeyErrors in its own
+        neighbor expansion. On well-formed maps both agree; on
+        malformed/partial data this version stays robust instead of
+        reproducing the reference's crash."""
         seeds = [
             _neighbor_id(n) for n in
             self.graph[start].left_lanes + self.graph[start].right_lanes

@@ -170,17 +170,19 @@ def uniform_pose(upath, unpts, spacing, long, total=None, scale=None, origin=Non
 
 def uniform_pose_and_ahead(upath, unpts, spacing, long, total, deltas,
                            scale=None, origin=None):
-    """uniform_pose PLUS the chord points at indices i+delta, all contracted
-    from ONE one-hot pass over P.
+    """uniform_pose PLUS the chord points at indices i+delta, sharing one
+    chord-index/frac computation and one HBM read of the path.
 
     The probe chain of TrajectoryIDM needs the pose at `long` and 4 points
     spaced ahead along the same fixed-spacing path. Computing each with its
-    own uniform_point builds a fresh [.., P] one-hot and re-reads the
+    own uniform_point recomputes the chord index and re-reads the
     (per-env gathered) path from HBM — profiled at ~0.3 ms/step at Waymo
-    scale. Here one one-hot `i == arange(P)` is contracted against
-    end-shifted copies of the path (a static slice + endpoint pad, fused by
-    XLA into the same pass), so the path is read once. The shift+endpoint-pad
-    is exactly uniform_point's index clamp because rows pad [unpts:] with the
+    scale. Here the chord index `i` is computed once, and each delta builds
+    only a small [.., P] one-hot over the already-loaded path (XLA fuses the
+    per-delta contractions into one pass over `pts`; materializing
+    end-shifted [.., P, 2] copies of the path instead was measured slower
+    than the extra one-hots). The index clamp in pick() reproduces
+    uniform_point's endpoint clamp because rows pad [unpts:] with the
     endpoint.
 
     Returns (pos [.., 2], heading [..], [points at i+d for d in deltas]).
