@@ -81,9 +81,23 @@ class Scene:
     # packed float32 lookup tables for one-hot gathers (ops/gather.py)
     lane_table: jnp.ndarray   # [S, L, LANE_F] — see LANE_* indices below
     road_table: jnp.ndarray   # [S, R, ROAD_F]
+    # lane_table prejoined with each lane's LEFT and RIGHT neighbor geometry
+    # (+ the neighbor's successor id): the IDM step needs self+left+right
+    # rows every step for 6 NPC slots — prejoining turns 5 one-hot
+    # contractions (each generating a [E,N,S*L] compare mask, the profiled
+    # top cost of the PG step at 8192 envs) into ONE wider lookup
+    lane_nbr_table: jnp.ndarray  # [S, L, LANE_F + 2*NBR_F]
     # flattened route views for fast (scenario, slot) row gathers
     route_flat: jnp.ndarray      # [S*SLOT, K]
     route_len_flat: jnp.ndarray  # [S*SLOT]
+    # int16-quantized boundary-segment endpoints (offsets from seg_origin at
+    # seg_scale m/unit): the per-env row gathers [E,B,2] of seg_p0/seg_p1
+    # move half the HBM bytes; the dequant affine fuses into the consumers
+    # (same move as the scenario route tables, commit c49d886)
+    seg_p0_q: jnp.ndarray     # [S, B, 2] int16
+    seg_p1_q: jnp.ndarray     # [S, B, 2] int16
+    seg_origin: jnp.ndarray   # [S, 2] float32
+    seg_scale: jnp.ndarray    # [S] float32 (>= 0.025 m; grows for huge maps)
 
     @classmethod
     def from_pack(cls, pack: dict) -> "Scene":
@@ -112,7 +126,55 @@ class Scene:
         arrays["route_len_flat"] = jnp.asarray(
             np.asarray(pack["route_len"]).reshape(S * SLOT)
         )
+
+        # prejoined neighbor geometry (see field comment above)
+        lt = np.asarray(arrays["lane_table"])            # [S, L, LANE_F]
+        L = lt.shape[1]
+        s_col = np.arange(S)[:, None]
+
+        def nbr_block(ids):
+            ids = np.asarray(ids, np.int64)
+            rows = lt[s_col, np.clip(ids, 0, L - 1)][..., NBR_GEOM_COLS]
+            rows[ids < 0] = 0.0
+            rows[..., NBR_F - 1] = np.where(ids < 0, -1.0, rows[..., NBR_F - 1])
+            return rows
+
+        arrays["lane_nbr_table"] = jnp.asarray(np.concatenate(
+            [lt, nbr_block(pack["lane_left"]), nbr_block(pack["lane_right"])],
+            axis=-1,
+        ).astype(np.float32))
+
+        # int16 segment quantization (per-scene origin + adaptive scale)
+        p0 = np.asarray(pack["seg_p0"], np.float32)      # [S, B, 2]
+        p1 = np.asarray(pack["seg_p1"], np.float32)
+        both = np.concatenate([p0, p1], axis=1) if p0.shape[1] else p0
+        if both.shape[1]:
+            lo = both.min(axis=1)                        # [S, 2]
+            hi = both.max(axis=1)
+            origin = (lo + hi) / 2
+            span = np.abs(both - origin[:, None, :]).max(axis=(1, 2))  # [S]
+        else:
+            origin = np.zeros((p0.shape[0], 2), np.float32)
+            span = np.zeros(p0.shape[0], np.float32)
+        scale = np.maximum(0.025, span / 32000.0).astype(np.float32)
+        quant = lambda p: np.round(
+            (p - origin[:, None, :]) / scale[:, None, None]
+        ).astype(np.int16)
+        arrays["seg_p0_q"] = jnp.asarray(quant(p0))
+        arrays["seg_p1_q"] = jnp.asarray(quant(p1))
+        arrays["seg_origin"] = jnp.asarray(origin.astype(np.float32))
+        arrays["seg_scale"] = jnp.asarray(scale)
         return cls(**arrays)
+
+    def seg_points(self, sidx):
+        """Dequantized per-env segment endpoints (p0 [E,B,2], p1 [E,B,2]).
+
+        The row gathers read int16; the affine dequant fuses into consumers."""
+        origin = self.seg_origin[sidx][:, None, :]
+        scale = self.seg_scale[sidx][:, None, None]
+        p0 = origin + self.seg_p0_q[sidx].astype(jnp.float32) * scale
+        p1 = origin + self.seg_p1_q[sidx].astype(jnp.float32) * scale
+        return p0, p1
 
     @property
     def num_scenarios(self):
@@ -132,6 +194,17 @@ LANE_KIND, LANE_P0X, LANE_P0Y, LANE_DIRX, LANE_DIRY, LANE_RADIUS, \
     LANE_START_PHASE, LANE_ARC_DIR, LANE_WIDTH, LANE_LENGTH, LANE_ANGLE, \
     LANE_ROAD, LANE_IDX_IN_ROAD, LANE_SUCC, LANE_LEFT, LANE_RIGHT, LANE_VALID, \
     LANE_SPEED_LIMIT, LANE_BLOCK = range(19)
+LANE_F = 19
+
+# columns of one neighbor block in lane_nbr_table (geometry the IDM gap
+# search needs of a left/right lane, + its successor id — SUCC must stay
+# last, from_pack writes the missing-neighbor sentinel there)
+NBR_GEOM_COLS = [
+    LANE_KIND, LANE_P0X, LANE_P0Y, LANE_DIRX, LANE_DIRY, LANE_RADIUS,
+    LANE_START_PHASE, LANE_ARC_DIR, LANE_WIDTH, LANE_LENGTH, LANE_ANGLE,
+    LANE_SUCC,
+]
+NBR_F = len(NBR_GEOM_COLS)
 
 # road_table column indices
 ROAD_LANE0, ROAD_NLANES, ROAD_NEGATIVE, ROAD_SUCC = range(4)

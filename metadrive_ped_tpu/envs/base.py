@@ -142,6 +142,26 @@ class BaseVectorEnv:
                 # building bodies (Bullet resolves contacts every doPhysics,
                 # engine_core.py:350-352). Off = flags only, bodies overlap.
                 contact_response=True,
+                # ---- terrain (base_env.py:219-223, engine/core/terrain.py) —
+                # the TPU build simulates on an implicit flat plane (z = 0);
+                # the mesh-heightfield terrain is a render/physics feature of
+                # the Panda3D+Bullet stack with no batched-XLA analog yet.
+                # use_mesh_terrain=True raises loudly instead of silently
+                # simulating different physics than requested (docs/
+                # divergences.md "Terrain").
+                use_mesh_terrain=False,
+                height_scale=50,        # accepted for config parity; only the
+                                        # flat-plane value (terrain stays flat)
+                show_terrain=True,      # render-only in the reference; ignored
+                # ---- HUD / realtime interface (engine/interface.py:19,
+                # engine/core/force_fps.py) — accepted-and-ignored: there is
+                # no realtime Panda3D window to decorate or throttle; the
+                # visual surface is env.render()'s top-down/camera frames
+                # (docs/divergences.md "HUD / ForceFPS").
+                show_interface=True,
+                show_fps=True,
+                show_logo=True,
+                show_coordinates=False,
                 # camera observation family (reference: obs/image_obs.py +
                 # component/sensors/*_camera.py; rendered here by the
                 # TPU raycast renderer, ops/camera.py)
@@ -188,8 +208,21 @@ class BaseVectorEnv:
     def __init__(self, config=None):
         self.config = self.default_config()
         if config:
-            self.config.update(config)
+            # `sensors` replaces wholesale (users name their own sensors, e.g.
+            # mini_map) — the reference likewise rebuilds the sensor dict
+            # instead of key-merging it (base_env.py sensor registration)
+            self.config.update(config, stop_recursive_update=("sensors",))
         cfg = self.config
+        if cfg["use_mesh_terrain"]:
+            raise NotImplementedError(
+                "use_mesh_terrain=True: the TPU build simulates on an "
+                "implicit flat plane; mesh-heightfield terrain "
+                "(reference engine/core/terrain.py:30,157,295) has no "
+                "batched-XLA analog. Use the default flat terrain "
+                "(use_mesh_terrain=False) — the reference's physics also "
+                "defaults to the flat collision plane. See "
+                "docs/divergences.md."
+            )
         if cfg["agent_policy"] == "lane_change":
             # LaneChangePolicy forces discrete 3-way steering [left, keep,
             # right] (lange_change_policy.py:17-24)
@@ -365,6 +398,20 @@ class BaseVectorEnv:
     def _render_frame(self, state):
         from metadrive_ped_tpu.ops import camera as cam_ops
         modality, w, h = self._sensor_spec()
+        if modality == "mini_map":
+            # MiniMap panel sensor (component/sensors/mini_map.py): a BEV
+            # camera hovering above the vehicle aimed 20 m ahead, rendered
+            # from the baked map textures (physics-mode analog)
+            from metadrive_ped_tpu.obs import top_down
+            if getattr(self, "_minimap_tex", None) is None:
+                self._minimap_tex = top_down.bake_map_textures(
+                    self._pack, self.scene.num_scenarios
+                )
+            tex, origins = self._minimap_tex
+            return top_down.observe_mini_map(
+                tex, origins, state.sidx, state.ego, state.npc,
+                width=w, height=h,
+            )
         targets, kinds = self._lidar_targets(state)
         cam = self.config["camera"]
         out = cam_ops.render(
@@ -496,13 +543,17 @@ class BaseVectorEnv:
         TopDownRenderer, obs/top_down_renderer.py). Modes: "topdown" /
         "top_down_plt" (BEV map + object stamps) or "rgb_array" (TPU raycast
         camera)."""
-        from metadrive_ped_tpu.obs.render import render_rgb_array, render_topdown
+        from metadrive_ped_tpu.obs.render import (
+            render_dashboard, render_rgb_array, render_topdown,
+        )
         if self._state is None:
             raise RuntimeError("call reset() before render()")
         if mode in ("topdown", "top_down", "bev", "top_down_plt"):
             return render_topdown(self, **kwargs)
         if mode in ("rgb_array", "camera"):
             return render_rgb_array(self, **kwargs)
+        if mode == "dashboard":
+            return render_dashboard(self, **kwargs)
         raise ValueError(f"unknown render mode {mode!r}")
 
     def close(self):
@@ -527,8 +578,12 @@ class BaseVectorEnv:
                 slot = (oh * jnp.arange(SLOT)).sum(axis=1).astype(jnp.int32)
             else:
                 slot = jnp.zeros(E, jnp.int32)
-        spawn_lane = scene.slot_lane[sidx, slot]
-        long0 = scene.slot_long[sidx, slot]
+        # row-gather + one-hot pick over the tiny SLOT axis — the pointwise
+        # [sidx, slot] 2D gather this replaces lowered to the serialized
+        # scalar-gather path (profiled on the auto-reset merge every step)
+        from metadrive_ped_tpu.ops.gather import onehot_pick
+        spawn_lane = onehot_pick(scene.slot_lane[sidx], slot)
+        long0 = onehot_pick(scene.slot_long[sidx], slot)
         g = lane_geom.gather_lane(scene, sidx, spawn_lane)
         pos = lane_geom.position(g, long0, jnp.zeros(E))
         heading = lane_geom.heading_theta_at(g, long0)
@@ -797,7 +852,7 @@ class BaseVectorEnv:
             valid = scene.seg_valid[sidx]
             cont = ((styp == SEG_YELLOW_LINE) | (styp == SEG_WHITE_LINE)) & valid
             anyline = cont | ((styp == SEG_BROKEN_LINE) & valid)
-            line_segs = (scene.seg_p0[sidx], scene.seg_p1[sidx], cont, anyline)
+            line_segs = (*scene.seg_points(sidx), cont, anyline)
         return state_obs.observe(
             self.scene, state.sidx, state.ego, targets, ego_long, ego_lat,
             num_lasers=lidar_cfg["num_lasers"], lidar_distance=lidar_cfg["distance"],
@@ -936,9 +991,10 @@ class BaseVectorEnv:
         # base_vehicle.py:234-253)
         loc = localization.localize(scene, state.sidx, ego.slot, ego.pos, ego.lane, ego.route_idx)
         ego = ego.replace(lane=loc["lane"], route_idx=loc["route_idx"], on_lane=loc["on_lane"])
+        seg_pts = scene.seg_points(state.sidx)  # int16 gathers, fused dequant
         seg_flags = collision.vehicle_segment_flags(
             ego.pos, ego.heading, ego.params.length, ego.params.width,
-            scene.seg_p0[state.sidx], scene.seg_p1[state.sidx],
+            *seg_pts,
             scene.seg_type[state.sidx], scene.seg_halfwidth[state.sidx],
             scene.seg_valid[state.sidx],
             (SEG_YELLOW_LINE, SEG_WHITE_LINE, SEG_SIDEWALK),

@@ -67,17 +67,16 @@ def idm_acceleration(speed_kmh, front_speed_kmh, front_dist, has_front,
     return acc
 
 
-def _lane_gaps(scene, sidx, lanes, npc_pos, npc_len,
+def _lane_gaps(g, exists, npc_pos, npc_len,
                cand_pos, cand_speed, cand_len, cand_active, not_self):
-    """Front/back gap search projected on `lanes` [E,N] (FrontBackObjects,
-    idm_policy.py:10-174). Returns (front_gap, front_speed, back_gap)."""
-    g = lane_geom.gather_lane(scene, sidx[:, None], lanes)
+    """Front/back gap search projected on pre-gathered lanes ``g`` [E,N]
+    (FrontBackObjects, idm_policy.py:10-174); ``exists`` [E,N] masks rows
+    whose lane id was < 0. Returns (front_gap, front_speed, back_gap)."""
     long_self, _ = lane_geom.local_coordinates(g, npc_pos)
     g_b = {k: (v[:, :, None] if v.ndim == 2 else v[:, :, None, :]) for k, v in g.items()}
     long_c, lat_c = lane_geom.local_coordinates(g_b, cand_pos[:, None, :, :])  # [E,N,C]
     on_lane = jnp.abs(lat_c) < (g["width"][:, :, None] / 2)
-    exists = (lanes >= 0)[:, :, None]
-    base_valid = on_lane & cand_active[:, None, :] & not_self & exists
+    base_valid = on_lane & cand_active[:, None, :] & not_self & exists[:, :, None]
     gap_sizes = (cand_len[:, None, :] + npc_len[:, :, None]) / 2
 
     ahead = long_c > long_self[:, :, None]
@@ -137,28 +136,31 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     C = cand_pos.shape[1]
     not_self = ~jnp.eye(N, C, dtype=bool)[None]
 
-    g = lane_geom.gather_lane(scene, sidx[:, None], npc.lane)
+    # one prejoined lookup yields the NPC's own lane row AND its left/right
+    # neighbors' gap-search geometry + successor ids (lane_nbr_table) —
+    # replacing five separate one-hot contractions per step
+    g, gL, gR = lane_geom.gather_lane_with_neighbors(
+        scene, sidx[:, None], npc.lane
+    )
     long_self, lat_self = lane_geom.local_coordinates(g, npc.pos)
 
-    gaps = lambda lanes: _lane_gaps(
-        scene, sidx, lanes, npc.pos, npc.params.length,
+    gaps = lambda geom, exists: _lane_gaps(
+        geom, exists, npc.pos, npc.params.length,
         cand_pos, cand_speed, cand_len, cand_active, not_self,
     )
-    front_gap, front_speed, _ = gaps(npc.lane)
-    l_front, l_front_speed, l_back = gaps(g["left"])
-    r_front, r_front_speed, r_back = gaps(g["right"])
+    l_exists = g["left"] >= 0
+    r_exists = g["right"] >= 0
+    front_gap, front_speed, _ = gaps(g, npc.lane >= 0)
+    l_front, l_front_speed, l_back = gaps(gL, l_exists)
+    r_front, r_front_speed, r_back = gaps(gR, r_exists)
 
     # --- forced lane change on lane drop (idm_policy.py:339-374) ----------
     # an NPC whose lane has no successor while a neighbor lane continues
     # (merge/bottleneck/ramp end) must move over; when the target side is
     # unsafe it creeps at CREEP_SPEED behind its front gap until clear.
     succ_self = g["succ"]
-    gl = lane_geom.gather_lane(scene, sidx[:, None], jnp.maximum(g["left"], 0))
-    gr = lane_geom.gather_lane(scene, sidx[:, None], jnp.maximum(g["right"], 0))
-    l_exists = g["left"] >= 0
-    r_exists = g["right"] >= 0
-    l_cont = l_exists & (gl["succ"] >= 0)
-    r_cont = r_exists & (gr["succ"] >= 0)
+    l_cont = l_exists & (gL["succ"] >= 0)
+    r_cont = r_exists & (gR["succ"] >= 0)
     must_change = (succ_self < 0) & (l_cont | r_cont)
     want_left = must_change & l_cont
     want_right = must_change & ~l_cont & r_cont
@@ -250,7 +252,7 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     vel_dir = keep(vel_dir, npc.vel_dir)
 
     # --- route advance / arrival (traffic_manager.py:94-122) --------------
-    g2 = lane_geom.gather_lane(scene, sidx[:, None], target)
+    g2 = gt  # same lookup as the steering target — reuse, don't re-contract
     long2, _ = lane_geom.local_coordinates(g2, pos)
     passed = long2 > g2["length"]
     succ = g2["succ"]

@@ -57,6 +57,65 @@ def gather_lane(scene, sidx, lid):
     )
 
 
+def gather_lane_with_neighbors(scene, sidx, lid):
+    """gather_lane PLUS the left/right neighbor lanes' gap-search geometry
+    (and their successor ids), all from ONE one-hot contraction over the
+    prejoined ``lane_nbr_table`` (core/structs.py).
+
+    The IDM step needs self+left+right lane rows for every NPC every step;
+    looking each up separately built five [.., S*L] one-hot masks — the
+    profiled top cost of the PG step at 8192 envs. Returns
+    (g, g_left, g_right); the neighbor dicts carry kind/p0/dirv/radius/
+    start_phase/arc_dir/width/length/angle/succ (zeros and succ=-1 where
+    the neighbor does not exist — mask with g["left"] >= 0 etc.).
+    """
+    from metadrive_ped_tpu.core import structs as st
+    from metadrive_ped_tpu.ops.gather import table_lookup
+
+    sidx = jnp.asarray(sidx)
+    lid = jnp.asarray(lid)
+    if sidx.ndim > 1:
+        sidx = sidx.reshape(sidx.shape[0])
+    vals = table_lookup(scene.lane_nbr_table, sidx, lid)
+    toi = lambda x: jnp.round(x).astype(jnp.int32)
+    g = dict(
+        kind=toi(vals[..., st.LANE_KIND]),
+        p0=vals[..., st.LANE_P0X:st.LANE_P0Y + 1],
+        dirv=vals[..., st.LANE_DIRX:st.LANE_DIRY + 1],
+        radius=jnp.maximum(vals[..., st.LANE_RADIUS], 1e-6),
+        start_phase=vals[..., st.LANE_START_PHASE],
+        arc_dir=vals[..., st.LANE_ARC_DIR],
+        width=vals[..., st.LANE_WIDTH],
+        length=vals[..., st.LANE_LENGTH],
+        angle=vals[..., st.LANE_ANGLE],
+        road=toi(vals[..., st.LANE_ROAD]),
+        idx_in_road=toi(vals[..., st.LANE_IDX_IN_ROAD]),
+        succ=toi(vals[..., st.LANE_SUCC]),
+        left=toi(vals[..., st.LANE_LEFT]),
+        right=toi(vals[..., st.LANE_RIGHT]),
+        valid=vals[..., st.LANE_VALID] > 0.5,
+        speed_limit=vals[..., st.LANE_SPEED_LIMIT],
+        block=toi(vals[..., st.LANE_BLOCK]),
+    )
+
+    def nbr(off):
+        v = vals[..., off:off + st.NBR_F]
+        return dict(
+            kind=toi(v[..., 0]),
+            p0=v[..., 1:3],
+            dirv=v[..., 3:5],
+            radius=jnp.maximum(v[..., 5], 1e-6),
+            start_phase=v[..., 6],
+            arc_dir=v[..., 7],
+            width=v[..., 8],
+            length=v[..., 9],
+            angle=v[..., 10],
+            succ=toi(v[..., 11]),
+        )
+
+    return g, nbr(st.LANE_F), nbr(st.LANE_F + st.NBR_F)
+
+
 def gather_road(scene, sidx, rid):
     """Per-road fields via one-hot lookup: dict(lane0, nlanes, negative, succ)."""
     from metadrive_ped_tpu.core import structs as st

@@ -108,9 +108,9 @@ def _ref_lane_ids(scene, sidx, slot, route_idx):
     return cur["lane0"], cur["nlanes"], nxt["lane0"], has_next
 
 
-def _checkpoint_info(scene, sidx, ref_lane, lane_num, lane_width, pos, heading):
-    """One 5-dim checkpoint block (node_network_navigation.py:243-292)."""
-    g = lane_geom.gather_lane(scene, sidx, ref_lane)
+def _checkpoint_info(g, lane_num, lane_width, pos, heading):
+    """One 5-dim checkpoint block (node_network_navigation.py:243-292);
+    ``g`` is the ref lane's pre-gathered row."""
     later_middle = (lane_num.astype(jnp.float32) / 2 - 0.5) * lane_width
     ckpt = lane_geom.position(g, g["length"], later_middle)
     dir_vec = ckpt - pos
@@ -164,10 +164,15 @@ def checkpoint_positions(scene, sidx, slot, route_idx):
 def navi_info(scene, sidx, slot, route_idx, pos, heading):
     """The 10-dim navigation observation block (2 checkpoints x 5)."""
     lane0, nlanes, next_lane0, has_next = _ref_lane_ids(scene, sidx, slot, route_idx)
-    lane_width = scene.lane_width[sidx, lane0]
-    info1 = _checkpoint_info(scene, sidx, lane0, nlanes, lane_width, pos, heading)
+    g1 = lane_geom.gather_lane(scene, sidx, lane0)
+    # lane0's width comes from the row gather_lane already contracted — the
+    # pointwise scene.lane_width[sidx, lane0] this replaces lowered to a
+    # serialized 2D gather (the profiled fusion.889 at 8192 envs)
+    lane_width = g1["width"]
+    info1 = _checkpoint_info(g1, nlanes, lane_width, pos, heading)
     ref2 = jnp.where(has_next, next_lane0, lane0)
-    info2 = _checkpoint_info(scene, sidx, ref2, nlanes, lane_width, pos, heading)
+    g2 = lane_geom.gather_lane(scene, sidx, ref2)
+    info2 = _checkpoint_info(g2, nlanes, lane_width, pos, heading)
     return jnp.concatenate([info1, info2], axis=-1)
 
 

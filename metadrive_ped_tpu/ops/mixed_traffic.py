@@ -75,15 +75,12 @@ def expert_npc_actions(scene, sidx, npc, ego, params, num_lasers=240,
     )  # [E, N, 9]
 
     # ---- navigation 2x5: this road's end, then the successor road's end ---
-    info1 = localization._checkpoint_info(
-        scene, sidx, lane0, nlanes, w, npc.pos, npc.heading
-    )
+    info1 = localization._checkpoint_info(g0, nlanes, w, npc.pos, npc.heading)
     succ_road = lane_geom.gather_lane(scene, sidx, g0["succ"])["road"]
     next_lane0 = lane_geom.gather_road(scene, sidx, succ_road)["lane0"]
     ref2 = jnp.where(g0["succ"] >= 0, next_lane0, lane0)
-    info2 = localization._checkpoint_info(
-        scene, sidx, ref2, nlanes, w, npc.pos, npc.heading
-    )
+    g2 = lane_geom.gather_lane(scene, sidx, ref2)
+    info2 = localization._checkpoint_info(g2, nlanes, w, npc.pos, npc.heading)
     navi = jnp.concatenate([info1, info2], axis=-1)  # [E, N, 10]
 
     # ---- vehicle targets: all NPCs + the ego -------------------------------
