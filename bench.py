@@ -57,10 +57,16 @@ def _make_env(config_name, num_envs, scenarios):
     raise ValueError(config_name)
 
 
-def _synthetic_waymo_sd(seed, T=198, n_tracks=64, n_lanes=80, lane_pts=220):
+def _synthetic_waymo_sd(seed, T=198, n_tracks=64, n_lanes=80, lane_pts=220,
+                        n_lights=8):
     """One ScenarioDescription with Waymo-like shapes (track count, episode
     length, lane polyline length; cf. scenarionet Waymo stats: ~200 frames
-    at 10 Hz, tens of tracks, long multi-point lanes)."""
+    at 10 Hz, tens of tracks, long multi-point lanes). Carries cycling
+    traffic lights in dynamic_map_states (real Waymo packs do; schema:
+    scenario/scenario_description.py:124 + manager/scenario_light_manager.py
+    consumes stop_point + per-frame object_state) and a ~20% pedestrian/
+    cyclist track share, so the bench exercises light replay and
+    participant-type handling at scale."""
     rng = np.random.RandomState(seed)
     dt = 0.1
     lane_w = 3.8
@@ -89,6 +95,25 @@ def _synthetic_waymo_sd(seed, T=198, n_tracks=64, n_lanes=80, lane_pts=220):
             type="ROAD_EDGE_BOUNDARY", polyline=edge.astype(np.float32)
         )
 
+    # cycling traffic lights at stop points spaced along the corridor; each
+    # cycles green(15 s) -> yellow(2 s) -> red(8 s), phase-offset per light
+    dynamic_map_states = {}
+    for li in range(n_lights):
+        col = li % n_cols
+        x = 20.0 + (li * 31.0) % (length_m * 0.8)
+        stop = [float(x), float(col * lane_w + 2.0 * np.sin(x / 60.0)), 0.0]
+        g, y, r = 150, 20, 80  # frames at 10 Hz
+        cyc = (["TRAFFIC_LIGHT_GREEN"] * g + ["TRAFFIC_LIGHT_YELLOW"] * y
+               + ["TRAFFIC_LIGHT_RED"] * r)
+        off = (li * 83) % len(cyc)
+        states = [cyc[(t + off) % len(cyc)] for t in range(T)]
+        dynamic_map_states[f"light_{li}"] = dict(
+            type="TRAFFIC_LIGHT",
+            state=dict(object_state=states),
+            metadata=dict(stop_point=stop, track_length=T,
+                          object_id=f"light_{li}"),
+        )
+
     def track(col, x0, speed, kind="VEHICLE"):
         xs = x0 + speed * dt * np.arange(T)
         ys = col * lane_w + 2.0 * np.sin(xs / 60.0)
@@ -110,17 +135,28 @@ def _synthetic_waymo_sd(seed, T=198, n_tracks=64, n_lanes=80, lane_pts=220):
     tracks = {"sdc": track(3, 5.0, 11.0)}
     for k in range(n_tracks):
         col = int(rng.randint(0, n_cols))
-        if k % 4 == 1:
+        # ~20% pedestrians/cyclists (10% each), the high end of real Waymo
+        # packs' participant share; they move at walking/riding speeds.
+        # Only slots outside the spawn-behind (IDM-qualifying) quarter, so
+        # the reactive-car count per scene stays ~16.
+        if k % 5 == 2 and k % 4 != 1:
+            kind = "PEDESTRIAN" if k % 10 == 2 else "CYCLIST"
+            speed = float(rng.uniform(0.5, 2.0) if kind == "PEDESTRIAN"
+                          else rng.uniform(2.0, 6.0))
+            x0 = float(rng.uniform(0.0, length_m * 0.6))
+        elif k % 4 == 1:
             # a realistic share spawns BEHIND the sdc: these qualify for
             # TrajectoryIDM (spawn fwd < -1 m, |side| < 15 m, aligned —
             # scenario_traffic_manager.py:217-235), so the bench actually
             # exercises the reactive path at scale (~16 IDM cars/scene)
+            kind = "VEHICLE"
             col = int(rng.randint(0, 7))
             x0 = float(rng.uniform(-45.0, 0.0))
+            speed = float(rng.uniform(4.0, 14.0))
         else:
+            kind = "VEHICLE"
             x0 = float(rng.uniform(0.0, length_m * 0.6))
-        speed = float(rng.uniform(4.0, 14.0))
-        kind = "VEHICLE" if k % 8 else ("PEDESTRIAN" if k % 16 else "CYCLIST")
+            speed = float(rng.uniform(4.0, 14.0))
         tracks[f"o{k}"] = track(col, x0, speed, kind)
 
     return {
@@ -128,7 +164,7 @@ def _synthetic_waymo_sd(seed, T=198, n_tracks=64, n_lanes=80, lane_pts=220):
         "version": "MetaDrive v0.4.1.1",
         "length": T,
         "tracks": tracks,
-        "dynamic_map_states": {},
+        "dynamic_map_states": dynamic_map_states,
         "map_features": map_features,
         "metadata": dict(
             sdc_id="sdc", dataset="synthetic-waymo-scale", coordinate="metadrive",
@@ -137,30 +173,10 @@ def _synthetic_waymo_sd(seed, T=198, n_tracks=64, n_lanes=80, lane_pts=220):
     }
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--quick", action="store_true", help="small sizes for smoke testing")
-    p.add_argument("--num-envs", type=int, default=None)
-    p.add_argument("--steps", type=int, default=None)
-    p.add_argument("--scenarios", type=int, default=None)
-    p.add_argument("--density", type=float, default=0.05)
-    p.add_argument("--config", default="pg",
-                   choices=("pg", "safe", "marl", "scenario", "scenario_recorded"),
-                   help="BASELINE.json config family; default = canonical "
-                        "PG protocol (the driver's metric)")
-    args = p.parse_args()
-
-    # measured on v5e: pg 3.05M at 8192 (2.90M at 4096); safe 2.06M at 4096
-    # (869k at 1024); scenario (Waymo-scale, ~17 IDM cars/scene) 1.03M at
-    # 2048 (918k at 1024); scenario_recorded 1.17M at 1024
-    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 2048,
-                    "scenario_recorded": 1024}
-    num_envs = args.num_envs or (256 if args.quick else default_envs[args.config])
-    steps = args.steps or (30 if args.quick else 200)
-    scenarios = args.scenarios or (4 if args.quick else 16)
-
-    env = _make_env(args.config, num_envs, scenarios)
-    obs, _ = env.reset(seed=0)
+def _measure(config, num_envs, steps, scenarios):
+    """Build one env family, compile, time the second on-device rollout."""
+    env = _make_env(config, num_envs, scenarios)
+    env.reset(seed=0)
     # every config runs the on-device scan path (env.rollout); MARL counts
     # agent rows (num_envs is internally E*A after __init__)
     rows = env.num_envs
@@ -170,20 +186,53 @@ def main():
     t0 = time.perf_counter()
     env.rollout(steps, actions=actions)
     dt = time.perf_counter() - t0
+    env.close()
+    return rows * steps / dt
 
-    steps_per_s = rows * steps / dt
-    metric = ("env_steps_per_s_1chip" if args.config == "pg"
-              else f"env_steps_per_s_1chip_{args.config}")
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(steps_per_s, 1),
-                "unit": "env-steps/s" if args.config != "marl" else "agent-steps/s",
-                "vs_baseline": round(steps_per_s / REFERENCE_FPS, 2),
-            }
-        )
-    )
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true", help="small sizes for smoke testing")
+    p.add_argument("--num-envs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--scenarios", type=int, default=None)
+    p.add_argument("--density", type=float, default=0.05)
+    p.add_argument("--config", default="all",
+                   choices=("all", "pg", "safe", "marl", "scenario",
+                            "scenario_recorded"),
+                   help="BASELINE.json config family; the default 'all' "
+                        "measures every family and emits one JSON line "
+                        "(value = the canonical PG protocol number)")
+    args = p.parse_args()
+
+    # measured on v5e (round 4): pg at 8192; safe at 4096; scenario
+    # (Waymo-scale: ~16 IDM cars/scene, lights, 20% ped/cyclist) at 4096;
+    # marl 512 envs x 40 agents; scenario_recorded (small PG exports) at 1024
+    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 4096,
+                    "scenario_recorded": 1024}
+    steps = args.steps or (30 if args.quick else 200)
+    scenarios = args.scenarios or (4 if args.quick else 16)
+    families = (("pg", "safe", "marl", "scenario") if args.config == "all"
+                else (args.config,))
+
+    results = {}
+    for fam in families:
+        num_envs = args.num_envs or (256 if args.quick else default_envs[fam])
+        results[fam] = round(_measure(fam, num_envs, steps, scenarios), 1)
+
+    lead = families[0] if args.config != "all" else "pg"
+    metric = ("env_steps_per_s_1chip" if lead == "pg"
+              else f"env_steps_per_s_1chip_{lead}")
+    out = {
+        "metric": metric,
+        "value": results[lead],
+        "unit": "env-steps/s" if lead != "marl" else "agent-steps/s",
+        "vs_baseline": round(results[lead] / REFERENCE_FPS, 2),
+    }
+    if len(results) > 1:
+        # marl counts agent-steps/s (40 agents/env); the rest env-steps/s
+        out["configs"] = results
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
