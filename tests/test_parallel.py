@@ -97,3 +97,32 @@ def test_two_process_distributed():
     assert s0.isdisjoint(s1), "workers must own disjoint scenario strides"
     assert results[0][3] == results[1][3], \
         "allgathered metrics must agree across processes"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_scenario_env_matches_unsharded():
+    """ScenarioEnv under ShardedEnv must be numerically identical to the
+    unsharded run (VERDICT r3 item 3: multi-chip coverage previously
+    exercised the PG family only). Uses self-exported SDs with reactive
+    traffic so the trajectory-IDM path shards too."""
+    from metadrive_ped_tpu.envs.scenario_env import ScenarioEnv
+    from metadrive_ped_tpu.scenario import export_scenarios
+
+    src = MetaDriveEnv(dict(num_envs=2, map="CS", num_scenarios=2,
+                            traffic_density=0.5, traffic_mode="respawn"))
+    src.reset(seed=0)
+    sds = list(export_scenarios(
+        src, 40, actions=np.tile([0.0, 0.7], (2, 1)).astype(np.float32)
+    ).values())
+    cfg = dict(num_envs=16, scenario_data=sds, reactive_traffic=True)
+    plain = ScenarioEnv(cfg)
+    sharded = ShardedEnv(ScenarioEnv(cfg))
+    o1, _ = plain.reset(seed=3)
+    o2, _ = sharded.reset(seed=3)
+    acts = np.tile([0.05, 0.6], (16, 1)).astype(np.float32)
+    for _ in range(10):
+        o1, r1, *_ = plain.step(acts)
+        o2, r2, t2, tr2, info2 = sharded.step(acts)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+    assert len(sharded.env._state.ego.pos.sharding.device_set) == 8
