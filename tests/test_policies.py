@@ -177,3 +177,18 @@ def test_expert_reference_protocol_ccc():
         mean_r = float(np.mean(ep_rewards))
         assert 300.0 <= mean_r <= 350.0, f"density {density}: reward {mean_r:.1f}"
         env.close()
+
+
+def test_torch_expert_twin_matches_jax():
+    """The torch expert twin (policies/expert_torch.py; reference
+    examples/ppo_expert/torch_expert.py) produces the same actions as the
+    JAX expert on the same observations."""
+    import numpy as np
+    from metadrive_ped_tpu.policies.expert import expert_action, load_expert_params
+    from metadrive_ped_tpu.policies.expert_torch import torch_expert_action
+    rng = np.random.RandomState(0)
+    obs = rng.uniform(0, 1, (8, 275)).astype(np.float32)
+    import jax.numpy as jnp
+    a_jax = np.asarray(expert_action(load_expert_params(), jnp.asarray(obs)))
+    a_torch = torch_expert_action(obs)
+    np.testing.assert_allclose(a_jax, a_torch, atol=2e-5)
