@@ -143,3 +143,40 @@ def render_rgb_array(env, env_index=0, width=256, height=144):
         env._render_rgb_key = key
     frame = np.asarray(env._render_rgb_jit(env._state))[env_index]
     return (frame * 255).astype(np.uint8)
+
+
+def render_dashboard(env, env_index=0, width=320, height=80):
+    """Dashboard panel [height, width, 3] uint8 showing steering, throttle,
+    brake, and speed bars (reference: component/sensors/dashboard.py — a
+    GUI-only panel whose perceive() raises; here it renders to an array the
+    user can blit next to env.render frames). MAX_SPEED=120 km/h matches the
+    reference's gauge scale (dashboard.py:22)."""
+    import numpy as np
+
+    MAX_SPEED = 120.0
+    state = env._state
+    steering = float(np.asarray(state.ego.steering)[env_index])
+    throttle = float(np.asarray(state.ego.throttle)[env_index])
+    speed = float(np.asarray(state.ego.speed)[env_index]) * 3.6
+
+    img = np.full((height, width, 3), 40, np.uint8)
+    rows = [
+        ("steering", (steering + 1) / 2, np.array([90, 170, 250], np.uint8)),
+        ("throttle", max(throttle, 0.0), np.array([90, 220, 120], np.uint8)),
+        ("brake", max(-throttle, 0.0), np.array([240, 90, 90], np.uint8)),
+        ("speed", min(max(speed, 0.0) / MAX_SPEED, 1.0),
+         np.array([250, 210, 90], np.uint8)),
+    ]
+    bar_h = height // len(rows)
+    pad = max(bar_h // 4, 2)
+    x0 = width // 8
+    for i, (_, frac, color) in enumerate(rows):
+        y0 = i * bar_h + pad
+        y1 = (i + 1) * bar_h - pad
+        img[y0:y1, x0:width - 4] = 70                      # track
+        img[y0:y1, x0:x0 + int((width - 4 - x0) * frac)] = color
+        # centre tick for the signed steering bar
+        if i == 0:
+            mid = x0 + (width - 4 - x0) // 2
+            img[y0:y1, mid:mid + 2] = 255
+    return img

@@ -165,3 +165,71 @@ def observe_top_down(textures, origins, sidx, ego, npc, past_pos,
         jnp.ones(past_pos.shape[:2], bool),
     )
     return jnp.stack([road, route, others, ego_layer, past], axis=-1)
+
+
+def observe_mini_map(textures, origins, sidx, ego, npc, width=168, height=84,
+                     max_distance=50.0, look_ahead=20.0):
+    """MiniMap sensor frame [E, height, width, 3] (reference:
+    component/sensors/mini_map.py — an orthographic camera hovering above
+    the vehicle, aimed 20 m ahead, aspect 2:1; physics-mode analog rendered
+    from the baked map textures instead of the Panda3D scene graph).
+
+    Channels: road surface (+lane lines), all vehicles (ego + others),
+    navigation route — a pseudo-RGB the image_observation pipeline stacks
+    like any camera."""
+    E = sidx.shape[0]
+    res = 2 * max_distance / height
+    ii = jnp.arange(height)
+    fwd = (height / 2 - ii) * res + look_ahead       # view centered ahead
+    side = (jnp.arange(width) - width / 2) * res
+    fwd_g, side_g = jnp.meshgrid(fwd, side, indexing="ij")   # [H,W]
+
+    hv = jnp.stack([jnp.cos(ego.heading), jnp.sin(ego.heading)], -1)
+    rv = jnp.stack([hv[:, 1], -hv[:, 0]], -1)
+    world = (
+        ego.pos[:, None, None, :]
+        + fwd_g[None, ..., None] * hv[:, None, None, :]
+        + side_g[None, ..., None] * rv[:, None, None, :]
+    )
+    tex_xy = (world - origins[sidx][:, None, None, :]) / BAKE_RES
+    s_coord = jnp.broadcast_to(
+        sidx[:, None, None].astype(jnp.float32), (E, height, width)
+    )
+    coords = jnp.stack(
+        [s_coord, tex_xy[..., 1], tex_xy[..., 0]], axis=0
+    ).reshape(3, -1)
+
+    def sample(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            textures[:, ch], [coords[0], coords[1], coords[2]], order=1,
+            mode="constant",
+        ).reshape(E, height, width)
+
+    road = jnp.maximum(sample(0), sample(1) * 0.5)
+    route = sample(2)
+
+    def stamp(pos, heading, length, wid, active):
+        rel = pos - ego.pos[:, None, :]
+        rx = (rel * hv[:, None, :]).sum(-1)
+        ry = (rel * rv[:, None, :]).sum(-1)
+        rel_h = heading - ego.heading[:, None]
+        c, s = jnp.cos(rel_h), jnp.sin(rel_h)
+        dxp = fwd_g[None, :, :, None] - rx[:, None, None, :]
+        dyp = side_g[None, :, :, None] - ry[:, None, None, :]
+        lx = dxp * c[:, None, None, :] + dyp * s[:, None, None, :]
+        ly = -dxp * s[:, None, None, :] + dyp * c[:, None, None, :]
+        inside = (
+            (jnp.abs(lx) <= length[:, None, None, :] / 2)
+            & (jnp.abs(ly) <= wid[:, None, None, :] / 2)
+            & active[:, None, None, :]
+        )
+        return inside.any(-1).astype(jnp.float32)
+
+    cars = jnp.maximum(
+        stamp(npc.pos, npc.heading, npc.params.length, npc.params.width,
+              npc.active),
+        stamp(ego.pos[:, None, :], ego.heading[:, None],
+              ego.params.length[:, None], ego.params.width[:, None],
+              jnp.ones((E, 1), bool)),
+    )
+    return jnp.stack([road, cars, route], axis=-1)

@@ -85,3 +85,41 @@ def test_uint8_mode():
     obs, _ = env.reset(seed=0)
     assert obs["image"].dtype == np.uint8
     assert obs["image"].max() > 1
+
+
+def test_mini_map_sensor_observation():
+    """MiniMap panel sensor (component/sensors/mini_map.py): BEV camera
+    aimed 20 m ahead, usable as image_source like any camera."""
+    import numpy as np
+    from metadrive_ped_tpu import MetaDriveEnv
+    env = MetaDriveEnv(dict(
+        num_envs=2, map="SC", num_scenarios=1, traffic_density=0.2,
+        image_observation=True, image_source="mini_map",
+        sensors=dict(mini_map=("mini_map", 84, 42)), stack_size=2,
+    ))
+    obs, _ = env.reset(seed=0)
+    img = obs["image"] if isinstance(obs, dict) else obs
+    img = np.asarray(img)
+    assert img.shape == (2, 42, 84, 3, 2)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # the road layer must actually contain road pixels ahead of the ego
+    assert (img[..., 0, -1] > 0.1).mean() > 0.05, "road channel looks empty"
+    env.close()
+
+
+def test_dashboard_render():
+    """DashBoard panel (component/sensors/dashboard.py): speed/steering/
+    throttle/brake bars as an RGB array (GUI-only in the reference — its
+    perceive() raises; here it renders next to env.render frames)."""
+    import numpy as np
+    from metadrive_ped_tpu import MetaDriveEnv
+    env = MetaDriveEnv(dict(num_envs=2, map="S", num_scenarios=1,
+                            traffic_density=0.0))
+    env.reset(seed=0)
+    for _ in range(5):
+        env.step(np.tile([0.3, 0.8], (2, 1)))
+    img = env.render(mode="dashboard", env_index=0)
+    assert img.shape == (80, 320, 3) and img.dtype == np.uint8
+    # throttle bar (row band 2) must be partially lit
+    assert (img[20:40] > 100).any()
+    env.close()
