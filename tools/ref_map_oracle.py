@@ -215,6 +215,39 @@ def dump_city_seed(NRN, seed, blocks_n, lane_num, lane_width, exit_length):
     return dict(blocks=blocks, roads=roads)
 
 
+def watch_local_coordinates_raise():
+    """Instrument CircularLane.local_coordinates to count its 'undetermined
+    phase' ValueError (circular_lane.py:92-99) firing inside the reference's
+    check_lane_on_road.
+
+    Rationale (VERDICT r3 weak #6): the TPU port's _local_coordinates_total
+    (mapgen/overlap.py:83-98) counts such samples off-lane instead of
+    raising; check_lane_on_road has NO try/except, so in the reference the
+    raise would abort map generation entirely. This sweep verifies the
+    branch never fires on seeds that survive — i.e. the port can only
+    diverge on seeds that crash the reference outright.
+
+    Returns a counter dict updated live; swallows the raise and reports the
+    sample as off-lane (inf, inf) so the sweep can continue past it and
+    still record that the seed WOULD have crashed the reference.
+    """
+    from metadrive.component.lane.circular_lane import CircularLane
+
+    counter = {"raises": 0, "calls": 0}
+    orig = CircularLane.local_coordinates
+
+    def wrapped(self, position, only_in_lane_point=False):
+        counter["calls"] += 1
+        try:
+            return orig(self, position)
+        except ValueError:
+            counter["raises"] += 1
+            return float("inf"), float("inf")
+
+    CircularLane.local_coordinates = wrapped
+    return counter
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", default="0:20")
@@ -224,13 +257,18 @@ def main():
     ap.add_argument("--exit-length", type=float, default=50.0)
     ap.add_argument("--city", action="store_true",
                     help="dump via the reference CityBIG instead of BIG")
+    ap.add_argument("--watch-raise", action="store_true",
+                    help="count CircularLane.local_coordinates 'undetermined"
+                         " phase' raises per seed (VERDICT r3 weak #6 sweep)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.seeds.split(":"))
 
     BIG, BGM, NRN = load_reference()
+    counter = watch_local_coordinates_raise() if args.watch_raise else None
     out = {}
     for seed in range(lo, hi):
+        before = counter["raises"] if counter else 0
         try:
             out[str(seed)] = (
                 dump_city_seed(NRN, seed, args.blocks, args.lane_num,
@@ -241,11 +279,19 @@ def main():
             )
         except Exception as e:  # pragma: no cover - oracle diagnostics
             out[str(seed)] = dict(error=f"{type(e).__name__}: {e}")
+        if counter is not None and counter["raises"] > before:
+            out[str(seed)]["local_coordinates_raises"] = counter["raises"] - before
         tr = out[str(seed)].get("blocks")
         trials = [b["trials"] for b in tr] if tr else None
         print(f"seed {seed}: "
               f"{''.join(b['id'] for b in tr) if tr else out[str(seed)]}"
               f" trials={trials}", file=sys.stderr)
+    if counter is not None:
+        hit = {s: v["local_coordinates_raises"] for s, v in out.items()
+               if "local_coordinates_raises" in v}
+        print(f"[watch-raise] {counter['raises']} raises / "
+              f"{counter['calls']} local_coordinates calls; seeds with "
+              f"raises: {hit if hit else 'NONE'}", file=sys.stderr)
     text = json.dumps(out, indent=None, separators=(",", ":"), sort_keys=True)
     if args.out:
         with open(args.out, "w") as f:
