@@ -87,10 +87,44 @@ class ScenarioScene:
     light_status_t: jnp.ndarray   # [S*T, LG]
     sdc_pos_t: jnp.ndarray        # [S*T, 2]
     sdc_heading_t: jnp.ndarray    # [S*T]
+    # int16-quantized boundary segments (offsets from seg_origin at
+    # seg_scale m/unit): the per-env [E,B,2] row gathers in the line-flag
+    # and detector paths move half the HBM bytes (same move as the PG
+    # Scene, core/structs.py)
+    seg_p0_q: jnp.ndarray      # [S, B, 2] int16
+    seg_p1_q: jnp.ndarray      # [S, B, 2] int16
+    seg_origin: jnp.ndarray    # [S, 2] float32
+    seg_scale: jnp.ndarray     # [S] float32
 
     @classmethod
     def from_pack(cls, pack):
-        return cls(**{k: jnp.asarray(np.asarray(v)) for k, v in pack.items()})
+        arrays = {k: jnp.asarray(np.asarray(v)) for k, v in pack.items()}
+        p0 = np.asarray(pack["seg_p0"], np.float32)
+        p1 = np.asarray(pack["seg_p1"], np.float32)
+        both = np.concatenate([p0, p1], axis=1) if p0.shape[1] else p0
+        if both.shape[1]:
+            origin = (both.min(axis=1) + both.max(axis=1)) / 2
+            span = np.abs(both - origin[:, None, :]).max(axis=(1, 2))
+        else:
+            origin = np.zeros((p0.shape[0], 2), np.float32)
+            span = np.zeros(p0.shape[0], np.float32)
+        scale = np.maximum(0.025, span / 32000.0).astype(np.float32)
+        quant = lambda p: np.round(
+            (p - origin[:, None, :]) / scale[:, None, None]
+        ).astype(np.int16)
+        arrays["seg_p0_q"] = jnp.asarray(quant(p0))
+        arrays["seg_p1_q"] = jnp.asarray(quant(p1))
+        arrays["seg_origin"] = jnp.asarray(origin.astype(np.float32))
+        arrays["seg_scale"] = jnp.asarray(scale)
+        return cls(**arrays)
+
+    def seg_points(self, sidx):
+        """Dequantized per-env segment endpoints (p0, p1), each [E, B, 2]."""
+        origin = self.seg_origin[sidx][:, None, :]
+        scale = self.seg_scale[sidx][:, None, None]
+        p0 = origin + self.seg_p0_q[sidx].astype(jnp.float32) * scale
+        p1 = origin + self.seg_p1_q[sidx].astype(jnp.float32) * scale
+        return p0, p1
 
     @property
     def num_scenarios(self):

@@ -513,7 +513,7 @@ class ScenarioEnv:
         if n_side > 0:
             side = raycast.side_detector_cloud(
                 ego.pos, ego.heading, n_side, vc["side_detector"]["distance"],
-                scene.seg_p0[sidx], scene.seg_p1[sidx],
+                *scene.seg_points(sidx),
                 seg_line & scene.seg_valid[sidx],
             )
         else:
@@ -668,7 +668,7 @@ class ScenarioEnv:
         state = state.replace(last_long=state.cur_long, cur_long=long, cur_lat=lat)
         seg_flags = collision.vehicle_segment_flags(
             ego.pos, ego.heading, ego.params.length, ego.params.width,
-            scene.seg_p0[state.sidx], scene.seg_p1[state.sidx],
+            *scene.seg_points(state.sidx),
             scene.seg_type[state.sidx], scene.seg_halfwidth[state.sidx],
             scene.seg_valid[state.sidx],
             (SEG_YELLOW_LINE, SEG_WHITE_LINE, SEG_SIDEWALK),
