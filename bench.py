@@ -230,7 +230,7 @@ def main():
         "vs_baseline": round(results[lead] / REFERENCE_FPS, 2),
     }
     if len(results) > 1:
-        # marl counts agent-steps/s (40 agents/env); the rest env-steps/s
+        # marl counts agent-steps/s (8 agents/env); the rest env-steps/s
         out["configs"] = results
     print(json.dumps(out))
 
