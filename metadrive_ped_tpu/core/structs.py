@@ -98,6 +98,14 @@ class Scene:
     seg_p1_q: jnp.ndarray     # [S, B, 2] int16
     seg_origin: jnp.ndarray   # [S, 2] float32
     seg_scale: jnp.ndarray    # [S] float32 (>= 0.025 m; grows for huge maps)
+    # spawn poses precomputed host-side (spawn lane ids + longitudes are
+    # static per scenario, so the pose is too): the auto-reset merge runs
+    # every step, and computing these poses in-kernel cost two one-hot
+    # lane-table contractions per step (profiled ~95 us/step at 8192 envs)
+    npc_spawn_pos: jnp.ndarray      # [S, N, 2]
+    npc_spawn_heading: jnp.ndarray  # [S, N]
+    slot_pos: jnp.ndarray           # [S, SLOT, 2]
+    slot_heading: jnp.ndarray       # [S, SLOT]
 
     @classmethod
     def from_pack(cls, pack: dict) -> "Scene":
@@ -164,6 +172,38 @@ class Scene:
         arrays["seg_p1_q"] = jnp.asarray(quant(p1))
         arrays["seg_origin"] = jnp.asarray(origin.astype(np.float32))
         arrays["seg_scale"] = jnp.asarray(scale)
+
+        # host-side spawn poses (numpy twin of lane_geom.position /
+        # heading_theta_at at lateral 0)
+        def lane_pose(ids, longs):
+            ids = np.asarray(ids, np.int64)
+            longs = np.asarray(longs, np.float32)
+            rows = lt[s_col, np.clip(ids, 0, L - 1)]
+            kind = rows[..., LANE_KIND]
+            p0xy = rows[..., LANE_P0X:LANE_P0Y + 1]
+            dirv = rows[..., LANE_DIRX:LANE_DIRY + 1]
+            radius = np.maximum(rows[..., LANE_RADIUS], 1e-6)
+            phase0 = rows[..., LANE_START_PHASE]
+            arc = rows[..., LANE_ARC_DIR]
+            pos_s = p0xy + longs[..., None] * dirv
+            head_s = np.arctan2(dirv[..., 1], dirv[..., 0])
+            phi = arc * longs / radius + phase0
+            pos_c = p0xy + radius[..., None] * np.stack(
+                [np.cos(phi), np.sin(phi)], axis=-1
+            )
+            head_c = phi + 0.5 * np.pi * arc
+            from metadrive_ped_tpu.constants import LANE_CIRCULAR
+            circ = kind == float(LANE_CIRCULAR)
+            pos = np.where(circ[..., None], pos_c, pos_s).astype(np.float32)
+            head = np.where(circ, head_c, head_s).astype(np.float32)
+            return pos, head
+
+        npos, nhead = lane_pose(pack["npc_lane"], pack["npc_long"])
+        arrays["npc_spawn_pos"] = jnp.asarray(npos)
+        arrays["npc_spawn_heading"] = jnp.asarray(nhead)
+        spos, shead = lane_pose(pack["slot_lane"], pack["slot_long"])
+        arrays["slot_pos"] = jnp.asarray(spos)
+        arrays["slot_heading"] = jnp.asarray(shead)
         return cls(**arrays)
 
     def seg_points(self, sidx):

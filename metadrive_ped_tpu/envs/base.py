@@ -578,15 +578,17 @@ class BaseVectorEnv:
                 slot = (oh * jnp.arange(SLOT)).sum(axis=1).astype(jnp.int32)
             else:
                 slot = jnp.zeros(E, jnp.int32)
-        # row-gather + one-hot pick over the tiny SLOT axis — the pointwise
-        # [sidx, slot] 2D gather this replaces lowered to the serialized
-        # scalar-gather path (profiled on the auto-reset merge every step)
-        from metadrive_ped_tpu.ops.gather import onehot_pick
+        # row-gather + one-hot pick over the tiny SLOT axis; poses come from
+        # the host-precomputed spawn tables (core/structs.py) — this path
+        # runs in the auto-reset merge EVERY step, and the in-kernel
+        # gather_lane + position it replaces was a profiled one-hot
+        # contraction per step (as was the pointwise [sidx, slot] 2D gather
+        # before that)
+        from metadrive_ped_tpu.ops.gather import onehot_of, onehot_pick
         spawn_lane = onehot_pick(scene.slot_lane[sidx], slot)
-        long0 = onehot_pick(scene.slot_long[sidx], slot)
-        g = lane_geom.gather_lane(scene, sidx, spawn_lane)
-        pos = lane_geom.position(g, long0, jnp.zeros(E))
-        heading = lane_geom.heading_theta_at(g, long0)
+        oh = onehot_of(slot, scene.slot_lane.shape[1])          # [E, SLOT]
+        pos = jnp.einsum("es,esd->ed", oh, scene.slot_pos[sidx])
+        heading = onehot_pick(scene.slot_heading[sidx], slot)
         zeros = jnp.zeros(E)
         ego = EgoState(
             pos=pos, heading=heading, speed=zeros, vel_dir=zeros,
@@ -605,10 +607,11 @@ class BaseVectorEnv:
             params=self._ego_params(rng, E),
         )
         npc_lane = scene.npc_lane[sidx]              # [E,N]
-        gn = lane_geom.gather_lane(scene, sidx[:, None], npc_lane)
         npc_long = scene.npc_long[sidx]
-        npc_pos = lane_geom.position(gn, npc_long, jnp.zeros_like(npc_long))
-        npc_heading = lane_geom.heading_theta_at(gn, npc_long)
+        # spawn poses are static per scenario — plain row gathers of the
+        # host-precomputed tables instead of an [E,N] one-hot lane lookup
+        npc_pos = scene.npc_spawn_pos[sidx]
+        npc_heading = scene.npc_spawn_heading[sidx]
         nz = jnp.zeros_like(npc_long)
         # Respawn: all NPCs live immediately. Trigger/Hybrid: released when
         # the ego enters the trigger road (traffic_manager.py:20-29, 69).

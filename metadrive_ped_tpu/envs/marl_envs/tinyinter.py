@@ -119,7 +119,10 @@ class MultiAgentTinyInter(MultiAgentIntersectionEnv):
         # every row vs every slot of its env
         rel = pos[:, None, :, :] - pos[:, :, None, :]    # [E,Aego,Aother,2]
         hv = heading_vec(heading)
-        rv = rhs_vec(heading)
+        # LEFT-positive lateral (the comm slots mirror lidar.py's
+        # get_surrounding_vehicles_info projections -> base_vehicle.py:
+        # 986-988; see localization._checkpoint_info)
+        rv = -rhs_vec(heading)
         rx = (rel * hv[:, :, None, :]).sum(-1)
         ry = (rel * rv[:, :, None, :]).sum(-1)
         rp = jnp.stack([rx, ry], axis=-1)

@@ -559,7 +559,10 @@ class ScenarioEnv:
         dn = jnp.sqrt((dirv ** 2).sum(-1))
         scale = jnp.where(dn > TRAJ_NAVI_POINT_DIST, TRAJ_NAVI_POINT_DIST / jnp.maximum(dn, 1e-6), 1.0)
         dirv = dirv * scale[..., None]
-        rv = rhs_vec(ego.heading)
+        # LEFT-positive lateral (TrajectoryNavigation._get_info_for_checkpoint
+        # -> convert_to_local_coordinates, base_vehicle.py:986-988; see
+        # localization._checkpoint_info for the convention note)
+        rv = -rhs_vec(ego.heading)
         in_h = (dirv * hv[:, None, :]).sum(-1)
         in_r = (dirv * rv[:, None, :]).sum(-1)
         wp = jnp.stack(

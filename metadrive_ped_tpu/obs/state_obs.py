@@ -67,7 +67,11 @@ def surrounding_vehicles_info(ego, npc, num_others, perceive_distance):
     found = found_k & (sel_dist <= perceive_distance)
 
     hv = heading_vec(ego.heading)                              # [E,2]
-    rv = jnp.stack([hv[..., 1], -hv[..., 0]], axis=-1)         # rhs
+    # lateral axis = LEFT-positive: the reference projects neighbors with
+    # convert_to_local_coordinates (lidar.py:108,114 -> base_vehicle.py:
+    # 986-988), whose second component is the left-hand side (the "+y is
+    # rhs" comment there is stale) — see localization._checkpoint_info
+    rv = jnp.stack([-hv[..., 1], hv[..., 0]], axis=-1)
     sel = lambda a: jnp.einsum("ekn,en->ek", oh, a)
     dx = sel(delta[..., 0])
     dy = sel(delta[..., 1])

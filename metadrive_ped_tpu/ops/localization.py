@@ -120,7 +120,14 @@ def _checkpoint_info(g, lane_num, lane_width, pos, heading):
     hv = heading_vec(heading)
     rv = rhs_vec(heading)
     ckpt_in_heading = (dir_vec * hv).sum(-1)
-    ckpt_in_rhs = (dir_vec * rv).sum(-1)
+    # The reference projects with BaseVehicle.convert_to_local_coordinates
+    # (base_vehicle.py:986-988), whose second component is [rel[1], -rel[0]]
+    # of the Panda node frame = the LEFT-hand side, despite the stale
+    # "+y is the right hand side" comment at its call site. The vendored
+    # expert's obs_correction (dims 10/15 flips) only works against this
+    # raw convention — round-4 attribution traced 100%-deterministic
+    # out-of-road failures on outer spawn lanes to the mirrored sign.
+    ckpt_in_rhs = -(dir_vec * rv).sum(-1)
 
     is_circ = g["kind"] == LANE_CIRCULAR
     bendradius = jnp.where(

@@ -107,7 +107,10 @@ def expert_npc_actions(scene, sidx, npc, ego, params, num_lasers=240,
     sel = lambda a: jnp.einsum("enkc,enc->enk", oh, a)
     sel_dist = sel(jnp.where(jnp.isfinite(dist), dist, 0.0))
     found = found_k & (sel_dist <= distance)
-    rv = rhs_vec(npc.heading)
+    # LEFT-positive lateral axis (reference convert_to_local_coordinates
+    # convention; see localization._checkpoint_info) — the expert consumes
+    # these, so the sign must match its training-time raw obs
+    rv = -rhs_vec(npc.heading)
     dx = sel(delta2[..., 0])
     dy = sel(delta2[..., 1])
     rel_x = dx * hv[..., None, 0] + dy * hv[..., None, 1]

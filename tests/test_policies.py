@@ -111,11 +111,13 @@ def test_random_spawn_lane_index():
 
 def test_expert_closes_episodes_end_to_end():
     """Behavioral parity: the reference's released PPO expert checkpoint
-    drives THIS simulator to the destination on a meaningful fraction of
-    episodes (random PG maps + traffic). A loose floor — the bicycle-model
-    divergence from Bullet costs some success — but it catches obs/actuation
-    convention breaks outright (a broken convention scores ~0, as the
-    missing random_spawn_lane_index did on curved maps)."""
+    drives THIS simulator to the destination on most episodes (random PG
+    maps + traffic). Round-4 attribution (tools/expert_attribution.py)
+    traced the old ~0.42 rate to 100%-deterministic out-of-road failures on
+    outer spawn lanes of curving maps — a mirrored navi/neighbor lateral
+    sign (convert_to_local_coordinates is LEFT-positive in the reference;
+    localization._checkpoint_info) — after which success is ~0.85+; the
+    floor is 0.6 to absorb seed noise and the bicycle-model divergence."""
     import numpy as np
     import jax.numpy as jnp
     from metadrive_ped_tpu import MetaDriveEnv
@@ -134,7 +136,7 @@ def test_expert_closes_episodes_end_to_end():
     fin = term.sum()
     assert fin >= 10, f"expert should finish episodes, finished {fin}"
     rate = suc / fin
-    assert rate >= 0.3, f"expert success rate collapsed: {rate:.2f} ({suc}/{fin})"
+    assert rate >= 0.6, f"expert success rate collapsed: {rate:.2f} ({suc}/{fin})"
 
 
 def test_expert_reference_protocol_ccc():

@@ -14,10 +14,13 @@ adds the attribution that the test's single number hides.
     python tools/expert_attribution.py [--seeds 16] [--envs 64] [--cpu]
 """
 import argparse
+import os
 import sys
 from collections import Counter, defaultdict
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
