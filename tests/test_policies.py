@@ -194,3 +194,22 @@ def test_torch_expert_twin_matches_jax():
     a_jax = np.asarray(expert_action(load_expert_params(), jnp.asarray(obs)))
     a_torch = torch_expert_action(obs)
     np.testing.assert_allclose(a_jax, a_torch, atol=2e-5)
+
+
+def test_train_ppo_smoke():
+    """The on-device PPO training example (examples/train_ppo.py — TPU twin
+    of the reference's rllib training entry) runs end to end at smoke scale
+    and exports a policy in the expert .npz format."""
+    import subprocess, sys, os, tempfile
+    out = os.path.join(tempfile.mkdtemp(), "policy.npz")
+    r = subprocess.run(
+        [sys.executable, "-m", "metadrive_ped_tpu.examples.train_ppo",
+         "--cpu", "--quick", "--save", out],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "iter   1" in r.stdout
+    import numpy as np
+    w = np.load(out)
+    assert w["default_policy/fc_1/kernel"].shape == (275, 256)
