@@ -538,6 +538,14 @@ class BaseVectorEnv:
             )
         return path
 
+    def get_map_features(self, scenario_index=0):
+        """Lane centerlines + boundary lines of one compiled scenario as an
+        SD map_features dict (BaseMap.get_map_features parity,
+        base_map.py:163-172; consumed by scenario.utils.draw_map — the
+        export-map workflow of tests/test_functionality/test_export_map.py)."""
+        from metadrive_ped_tpu.scenario.recorder import _map_features
+        return _map_features(self._pack, int(scenario_index))
+
     def render(self, mode="topdown", **kwargs):
         """RGB frame of one env (reference: BaseEnv.render + the pygame
         TopDownRenderer, obs/top_down_renderer.py). Modes: "topdown" /

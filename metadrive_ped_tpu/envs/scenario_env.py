@@ -164,6 +164,12 @@ class ScenarioEnv:
     def close(self):
         self._state = None
 
+    def get_map_features(self, scenario_index=0):
+        """The scenario's raw SD map_features (ScenarioMap.get_map_features
+        passthrough, component/map/scenario_map.py; pairs with
+        scenario.utils.draw_map like test_export_map.py's workflow)."""
+        return dict(self._sds[scenario_index].get("map_features") or {})
+
     def edge_network(self, scenario_index=0):
         """EdgeRoadNetwork of one loaded scenario's raw map — lane-indexed
         graph with entry/exit/neighbor adjacency and BFS routing (the

@@ -19,10 +19,19 @@ def _oh_pick(values, best, idxs):
     return (values * oh).sum(-1)
 
 
-def _oh_pick2(points, best, idxs):
-    """Select points[..., best, :] ([.., P, 2]) via one-hot contraction."""
-    oh = (best[..., None] == idxs).astype(points.dtype)
-    return (points * oh[..., None]).sum(-2)
+def _oh_pick_pair(pts, best):
+    """Rows best and best+1 of pts [.., P, 2] from ONE stacked contraction.
+
+    Separate per-row reduces compile to fusions that each re-read the whole
+    path from HBM (profiled on the scenario step); the stacked einsum reads
+    it once. Requires best <= P-2."""
+    P = pts.shape[-2]
+    ar = jnp.arange(P)
+    oh = jnp.stack(
+        [(best[..., None] == ar), ((best + 1)[..., None] == ar)], axis=-2
+    ).astype(pts.dtype)                                    # [.., 2, P]
+    ab = jnp.einsum("...kp,...pd->...kd", oh, pts)         # [.., 2, 2]
+    return ab[..., 0, :], ab[..., 1, :]
 
 
 def arc_lengths(pts, npts):
@@ -59,8 +68,8 @@ def local_coordinates(pts, npts, pos, s=None):
     if s is None:
         s = arc_lengths(pts, npts)
     t_b = _oh_pick(t, best, idxs)
-    seg_b = _oh_pick2(seg, best, idxs)
-    a_b = _oh_pick2(a, best, idxs)
+    a_b, b_b = _oh_pick_pair(pts, best)    # one path read for both endpoints
+    seg_b = b_b - a_b
     s_b = _oh_pick(s[..., :-1], best, idxs)
     seg_len = jnp.sqrt(jnp.maximum((seg_b ** 2).sum(-1), 1e-12))
     long = s_b + t_b * seg_len
@@ -88,8 +97,7 @@ def _containing_segment(pts, npts, long, s=None):
 def position(pts, npts, long, lat=None, s=None):
     """World position at arc length `long` (+ optional right-lateral)."""
     best, seg_start, idxs = _containing_segment(pts, npts, long, s)
-    a = _oh_pick2(pts[..., :-1, :], best, idxs)
-    b = _oh_pick2(pts[..., 1:, :], best, idxs)
+    a, b = _oh_pick_pair(pts, best)
     s_b = _oh_pick(seg_start, best, idxs)
     seg = b - a
     seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))
@@ -104,9 +112,8 @@ def position(pts, npts, long, lat=None, s=None):
 
 def heading_at(pts, npts, long, s=None):
     """Heading (radians) of the segment containing `long`."""
-    best, _, idxs = _containing_segment(pts, npts, long, s)
-    a = _oh_pick2(pts[..., :-1, :], best, idxs)
-    b = _oh_pick2(pts[..., 1:, :], best, idxs)
+    best, _, _ = _containing_segment(pts, npts, long, s)
+    a, b = _oh_pick_pair(pts, best)
     return jnp.arctan2(b[..., 1] - a[..., 1], b[..., 0] - a[..., 0])
 
 
@@ -153,10 +160,16 @@ def uniform_pose(upath, unpts, spacing, long, total=None, scale=None, origin=Non
     i, frac = _chord_index_frac(P, unpts, spacing, long, total)
     ar = jnp.arange(P)
     pts = upath.astype(jnp.float32) if scale is not None else upath
-    oh0 = (i[..., None] == ar).astype(jnp.float32)
-    oh1 = ((i + 1)[..., None] == ar).astype(jnp.float32)
-    p0 = (oh0[..., None] * pts).sum(-2)
-    p1 = (oh1[..., None] * pts).sum(-2)
+    # both chord endpoints from ONE stacked contraction: separate p0/p1
+    # reduces compiled to two fusions that each re-read (and, when
+    # quantized, re-converted) the whole [.., P, 2] path from HBM —
+    # profiled as the top two fusions of the Waymo-scale scenario step
+    oh = jnp.stack(
+        [(i[..., None] == ar), ((i + 1)[..., None] == ar)], axis=-2
+    ).astype(jnp.float32)                                  # [.., 2, P]
+    pp = jnp.einsum("...kp,...pd->...kd", oh, pts)         # [.., 2, 2]
+    p0 = pp[..., 0, :]
+    p1 = pp[..., 1, :]
     if scale is not None:
         # quantized path: points are int offsets from `origin`. The one-hot
         # sums to 1, so dequantization commutes with the contraction — the

@@ -128,3 +128,30 @@ def save_dataset(scenarios, directory):
     with open(os.path.join(directory, MAPPING_FILE), "wb") as f:
         pickle.dump(mapping, f)
     return directory
+
+
+def draw_map(map_features, show=False, save_path=None):
+    """Matplotlib scatter of lane centerlines + road edges (twin of
+    scenario/utils.py:25-35 draw_map; used by the export-map workflow,
+    tests/test_functionality/test_export_map.py)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 6), dpi=200)
+    for key, value in map_features.items():
+        t = str(value.get("type", ""))
+        poly = np.asarray(value.get("polyline", []))
+        if poly.ndim != 2 or not len(poly):
+            continue
+        if "LANE" in t.upper():
+            plt.scatter(poly[:, 0], poly[:, 1], s=0.1)
+        else:
+            plt.scatter(poly[:, 0], poly[:, 1], s=0.1, c="k")
+    plt.gca().set_aspect("equal")
+    if save_path:
+        plt.savefig(save_path)
+    if show:  # pragma: no cover - interactive
+        plt.show()
+    plt.close(fig)
+    return fig

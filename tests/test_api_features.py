@@ -435,3 +435,34 @@ def test_terrain_and_hud_config_disposition():
                             show_coordinates=True))
     env.reset(seed=0)
     env.close()
+
+
+def test_get_map_features_and_draw_map(tmp_path):
+    """env.get_map_features + scenario.utils.draw_map (the export-map
+    workflow, tests/test_functionality/test_export_map.py): PG and scenario
+    envs both export lane/boundary polylines that draw without error."""
+    import numpy as np
+    from metadrive_ped_tpu import MetaDriveEnv
+    from metadrive_ped_tpu.envs.scenario_env import ScenarioEnv
+    from metadrive_ped_tpu.scenario import export_scenarios
+    from metadrive_ped_tpu.scenario.utils import draw_map
+
+    env = MetaDriveEnv(dict(num_envs=2, map="CS", num_scenarios=2,
+                            traffic_density=0.0))
+    env.reset(seed=0)
+    mf = env.get_map_features(1)
+    lanes = [v for v in mf.values() if "LANE" in str(v["type"]).upper()]
+    assert len(lanes) >= 6, "CS map must export its lane centerlines"
+    assert all(np.asarray(v["polyline"]).ndim == 2 for v in mf.values())
+    out = str(tmp_path / "map.png")
+    draw_map(mf, save_path=out)
+    import os
+    assert os.path.getsize(out) > 0
+
+    sds = list(export_scenarios(
+        env, 10, actions=np.zeros((2, 2), np.float32)).values())
+    senv = ScenarioEnv(dict(num_envs=2, scenario_data=sds))
+    senv.reset(seed=0)
+    smf = senv.get_map_features(0)
+    assert any("LANE" in str(v.get("type", "")).upper() for v in smf.values())
+    env.close(); senv.close()
