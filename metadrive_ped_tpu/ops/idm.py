@@ -142,8 +142,6 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     g, gL, gR = lane_geom.gather_lane_with_neighbors(
         scene, sidx[:, None], npc.lane
     )
-    long_self, lat_self = lane_geom.local_coordinates(g, npc.pos)
-
     gaps = lambda geom, exists: _lane_gaps(
         geom, exists, npc.pos, npc.params.length,
         cand_pos, cand_speed, cand_len, cand_active, not_self,

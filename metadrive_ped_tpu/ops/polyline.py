@@ -19,19 +19,15 @@ def _oh_pick(values, best, idxs):
     return (values * oh).sum(-1)
 
 
-def _oh_pick_pair(pts, best):
-    """Rows best and best+1 of pts [.., P, 2] from ONE stacked contraction.
+def _oh_pick2(points, best, idxs):
+    """Select points[..., best, :] ([.., P, 2]) via one-hot contraction.
 
-    Separate per-row reduces compile to fusions that each re-read the whole
-    path from HBM (profiled on the scenario step); the stacked einsum reads
-    it once. Requires best <= P-2."""
-    P = pts.shape[-2]
-    ar = jnp.arange(P)
-    oh = jnp.stack(
-        [(best[..., None] == ar), ((best + 1)[..., None] == ar)], axis=-2
-    ).astype(pts.dtype)                                    # [.., 2, P]
-    ab = jnp.einsum("...kp,...pd->...kd", oh, pts)         # [.., 2, 2]
-    return ab[..., 0, :], ab[..., 1, :]
+    NOTE: measured on TPU, two separate _oh_pick2 reduces beat a stacked
+    two-row einsum here (the einsum variant regressed the scenario bench
+    5%); only uniform_pose's full-width route contraction wins from the
+    stacked form (see uniform_pose)."""
+    oh = (best[..., None] == idxs).astype(points.dtype)
+    return (points * oh[..., None]).sum(-2)
 
 
 def arc_lengths(pts, npts):
@@ -68,8 +64,8 @@ def local_coordinates(pts, npts, pos, s=None):
     if s is None:
         s = arc_lengths(pts, npts)
     t_b = _oh_pick(t, best, idxs)
-    a_b, b_b = _oh_pick_pair(pts, best)    # one path read for both endpoints
-    seg_b = b_b - a_b
+    seg_b = _oh_pick2(seg, best, idxs)
+    a_b = _oh_pick2(a, best, idxs)
     s_b = _oh_pick(s[..., :-1], best, idxs)
     seg_len = jnp.sqrt(jnp.maximum((seg_b ** 2).sum(-1), 1e-12))
     long = s_b + t_b * seg_len
@@ -97,7 +93,8 @@ def _containing_segment(pts, npts, long, s=None):
 def position(pts, npts, long, lat=None, s=None):
     """World position at arc length `long` (+ optional right-lateral)."""
     best, seg_start, idxs = _containing_segment(pts, npts, long, s)
-    a, b = _oh_pick_pair(pts, best)
+    a = _oh_pick2(pts[..., :-1, :], best, idxs)
+    b = _oh_pick2(pts[..., 1:, :], best, idxs)
     s_b = _oh_pick(seg_start, best, idxs)
     seg = b - a
     seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))
@@ -112,8 +109,9 @@ def position(pts, npts, long, lat=None, s=None):
 
 def heading_at(pts, npts, long, s=None):
     """Heading (radians) of the segment containing `long`."""
-    best, _, _ = _containing_segment(pts, npts, long, s)
-    a, b = _oh_pick_pair(pts, best)
+    best, _, idxs = _containing_segment(pts, npts, long, s)
+    a = _oh_pick2(pts[..., :-1, :], best, idxs)
+    b = _oh_pick2(pts[..., 1:, :], best, idxs)
     return jnp.arctan2(b[..., 1] - a[..., 1], b[..., 0] - a[..., 0])
 
 

@@ -30,17 +30,47 @@ def _map_features(pack, s):
     feats = {}
     n_lanes = int(np.sum(pack["lane_valid"][s])) if "lane_valid" in pack \
         else pack["lane_kind"].shape[1]
-    for lid in range(pack["lane_kind"].shape[1]):
-        if "lane_valid" in pack and not pack["lane_valid"][s][lid]:
-            continue
+    succ = pack.get("lane_succ")
+    left = pack.get("lane_left")
+    right = pack.get("lane_right")
+    valid_ids = [
+        lid for lid in range(pack["lane_kind"].shape[1])
+        if "lane_valid" not in pack or pack["lane_valid"][s][lid]
+    ]
+    # entry lanes = inverse of the successor map (SD connectivity keys,
+    # scenario_description.py:142-145; real Waymo packs carry these and
+    # EdgeRoadNetwork routes over them — exported SDs must too, matching
+    # the reference's export connectivity test,
+    # tests/test_export_record_scenario/test_connectivity.py)
+    entries = {lid: [] for lid in valid_ids}
+    if succ is not None:
+        for lid in valid_ids:
+            nxt = int(succ[s][lid])
+            if nxt >= 0 and nxt in entries:
+                entries[nxt].append(f"lane_{lid}")
+    for lid in valid_ids:
         poly = _lane_centerline(pack, s, lid)
-        feats[f"lane_{lid}"] = {
+        feat = {
             "type": MetaDriveType.LANE_SURFACE_STREET,
             "polyline": poly,
             "width": float(pack["lane_width"][s][lid]),
             "speed_limit_mps": float(pack["lane_speed_limit"][s][lid])
             if "lane_speed_limit" in pack else None,
+            "entry_lanes": entries[lid],
+            "exit_lanes": (
+                [f"lane_{int(succ[s][lid])}"]
+                if succ is not None and int(succ[s][lid]) >= 0 else []
+            ),
+            "left_neighbor": (
+                [{"id": f"lane_{int(left[s][lid])}"}]
+                if left is not None and int(left[s][lid]) >= 0 else []
+            ),
+            "right_neighbor": (
+                [{"id": f"lane_{int(right[s][lid])}"}]
+                if right is not None and int(right[s][lid]) >= 0 else []
+            ),
         }
+        feats[f"lane_{lid}"] = feat
     # chain consecutive boundary segments (p1[i] == p0[i+1], same type)
     p0 = np.asarray(pack["seg_p0"][s])
     p1 = np.asarray(pack["seg_p1"][s])

@@ -186,3 +186,32 @@ def test_env_config_matrix(cfg):
     for key in ("arrive_dest", "crash_vehicle", "out_of_road", "step_reward",
                 "velocity", "steering", "acceleration", "cost"):
         assert key in info, key
+
+
+def test_lidar_cloud_noise_and_dropout():
+    """Lidar cloud noise parity (reference tests/test_functionality/
+    test_obs_noise.py; _add_noise_to_cloud_points, state_obs.py:234-244):
+    gaussian noise perturbs the cloud within [0,1]; dropout zeroes points;
+    dropout_prob=1.0 zeroes the whole cloud."""
+    import numpy as np
+    from metadrive_ped_tpu import MetaDriveEnv
+
+    def cloud(noise, drop):
+        env = MetaDriveEnv(dict(
+            num_envs=2, map="S", num_scenarios=1, traffic_density=0.5,
+            traffic_mode="respawn", auto_reset=False,
+            vehicle_config=dict(lidar=dict(gaussian_noise=noise,
+                                           dropout_prob=drop)),
+        ))
+        env.reset(seed=0)
+        for _ in range(5):
+            obs, *_ = env.step(np.zeros((2, 2), np.float32))
+        env.close()
+        return np.asarray(obs)[:, 19:]
+
+    clean = cloud(0.0, 0.0)
+    noisy = cloud(0.2, 0.0)
+    assert not np.allclose(clean, noisy), "gaussian noise must perturb"
+    assert noisy.min() >= 0.0 and noisy.max() <= 1.0
+    dropped = cloud(0.0, 1.0)
+    assert np.allclose(dropped, 0.0), "dropout_prob=1 zeroes the cloud"

@@ -291,3 +291,32 @@ def test_mix_waymo_pg_env_alternates_suites(recorded_scenarios):
             break
     assert suites == {True, False}, "both suites must be visited"
     env.close()
+
+
+def test_exported_sd_lane_connectivity(recorded_scenarios):
+    """Exported SDs carry lane connectivity (entry/exit/neighbors — SD keys
+    scenario_description.py:142-145), consistent enough for EdgeRoadNetwork
+    routing (the reference pins export connectivity in
+    tests/test_export_record_scenario/test_connectivity.py)."""
+    import numpy as np
+    from metadrive_ped_tpu.mapgen.edge_network import build_edge_network
+
+    sd = recorded_scenarios[0]
+    lanes = {k: v for k, v in sd["map_features"].items()
+             if "LANE" in str(v["type"]).upper()}
+    assert any(v["exit_lanes"] for v in lanes.values()), "no exit lanes"
+    # entry lists are the exact inverse of exit lists
+    for lid, v in lanes.items():
+        for nxt in v["exit_lanes"]:
+            assert lid in lanes[nxt]["entry_lanes"], (lid, nxt)
+    # neighbors are symmetric where both sides exist
+    for lid, v in lanes.items():
+        for n in v["left_neighbor"]:
+            peer = lanes[n["id"]]["right_neighbor"]
+            assert any(p["id"] == lid for p in peer), (lid, n)
+    # the edge network routes over the exported connectivity
+    net = build_edge_network(sd)
+    start = next(k for k, v in lanes.items() if v["exit_lanes"])
+    goal = lanes[start]["exit_lanes"][0]
+    path = net.shortest_path(start, goal)
+    assert path and path[-1] == goal
