@@ -11,7 +11,7 @@ from metadrive_ped_tpu.examples import force_cpu_flag, maybe_force_cpu
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--num-envs", "-e", default=16, type=int)
-    parser.add_argument("--steps", "-n", default=500, type=int)
+    parser.add_argument("--steps", "-n", default=1500, type=int)
     parser.add_argument("--render", metavar="OUT.png", default=None,
                         help="save a top-down frame of env 0 at the end")
     force_cpu_flag(parser)
@@ -28,13 +28,15 @@ def main():
     env.reset(seed=0)
     policy = make_expert_policy()
     outs, mean_reward = env.rollout(
-        args.steps, policy_fn=policy, collect=("reward", "arrive_dest")
+        args.steps, policy_fn=policy,
+        collect=("reward", "arrive_dest", "terminated"),
     )
     rew = np.asarray(outs["reward"])
-    succ = np.asarray(outs["arrive_dest"])
+    term = np.asarray(outs["terminated"])
+    succ = term & np.asarray(outs["arrive_dest"])
     print(f"{args.num_envs} envs x {args.steps} steps with the PPO expert")
     print(f"mean step reward: {float(mean_reward):.4f}")
-    print(f"episodes ended at destination: {int(succ.sum())}")
+    print(f"episodes finished: {int(term.sum())}, at destination: {int(succ.sum())}")
     print(f"total reward collected: {float(rew.sum()):.1f}")
     if args.render:
         frame = env.render("topdown")
