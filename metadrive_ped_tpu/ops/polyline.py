@@ -161,10 +161,13 @@ def uniform_pose(upath, unpts, spacing, long, total=None, scale=None, origin=Non
     # both chord endpoints from ONE stacked contraction: separate p0/p1
     # reduces compiled to two fusions that each re-read (and, when
     # quantized, re-converted) the whole [.., P, 2] path from HBM —
-    # profiled as the top two fusions of the Waymo-scale scenario step
-    oh = jnp.stack(
-        [(i[..., None] == ar), ((i + 1)[..., None] == ar)], axis=-2
-    ).astype(jnp.float32)                                  # [.., 2, P]
+    # profiled as the top two fusions of the Waymo-scale scenario step.
+    # The mask is ONE broadcast compare (rows i and i+1), not a stack of
+    # two masks — a concatenate here materialized the [.., 2, P] bool
+    # mask through a layout copy instead of fusing into the contraction
+    oh = (i[..., None, None] + jnp.arange(2)[:, None] == ar).astype(
+        jnp.float32
+    )                                                      # [.., 2, P]
     pp = jnp.einsum("...kp,...pd->...kd", oh, pts)         # [.., 2, 2]
     p0 = pp[..., 0, :]
     p1 = pp[..., 1, :]
