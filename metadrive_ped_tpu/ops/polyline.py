@@ -20,14 +20,24 @@ def _oh_pick(values, best, idxs):
 
 
 def _oh_pick2(points, best, idxs):
-    """Select points[..., best, :] ([.., P, 2]) via one-hot contraction.
-
-    NOTE: measured on TPU, two separate _oh_pick2 reduces beat a stacked
-    two-row einsum here (the einsum variant regressed the scenario bench
-    5%); only uniform_pose's full-width route contraction wins from the
-    stacked form (see uniform_pose)."""
+    """Select points[..., best, :] ([.., P, 2]) via one-hot contraction."""
     oh = (best[..., None] == idxs).astype(points.dtype)
     return (points * oh[..., None]).sum(-2)
+
+
+def _oh_pick_pair(pts, best):
+    """Rows best and best+1 of pts [.., P, 2] from ONE contraction reading
+    the path once. The mask is a single broadcast compare — building it
+    with jnp.stack materialized the bool mask through a layout copy and
+    regressed the scenario bench 5% (see uniform_pose). Requires
+    best <= P-2."""
+    P = pts.shape[-2]
+    ar = jnp.arange(P)
+    oh = (best[..., None, None] + jnp.arange(2)[:, None] == ar).astype(
+        pts.dtype
+    )                                                      # [.., 2, P]
+    ab = jnp.einsum("...kp,...pd->...kd", oh, pts)         # [.., 2, 2]
+    return ab[..., 0, :], ab[..., 1, :]
 
 
 def arc_lengths(pts, npts):
@@ -64,8 +74,8 @@ def local_coordinates(pts, npts, pos, s=None):
     if s is None:
         s = arc_lengths(pts, npts)
     t_b = _oh_pick(t, best, idxs)
-    seg_b = _oh_pick2(seg, best, idxs)
-    a_b = _oh_pick2(a, best, idxs)
+    a_b, b_b = _oh_pick_pair(pts, best)
+    seg_b = b_b - a_b
     s_b = _oh_pick(s[..., :-1], best, idxs)
     seg_len = jnp.sqrt(jnp.maximum((seg_b ** 2).sum(-1), 1e-12))
     long = s_b + t_b * seg_len
@@ -93,8 +103,7 @@ def _containing_segment(pts, npts, long, s=None):
 def position(pts, npts, long, lat=None, s=None):
     """World position at arc length `long` (+ optional right-lateral)."""
     best, seg_start, idxs = _containing_segment(pts, npts, long, s)
-    a = _oh_pick2(pts[..., :-1, :], best, idxs)
-    b = _oh_pick2(pts[..., 1:, :], best, idxs)
+    a, b = _oh_pick_pair(pts, best)
     s_b = _oh_pick(seg_start, best, idxs)
     seg = b - a
     seg_len = jnp.sqrt(jnp.maximum((seg ** 2).sum(-1), 1e-12))
@@ -109,9 +118,8 @@ def position(pts, npts, long, lat=None, s=None):
 
 def heading_at(pts, npts, long, s=None):
     """Heading (radians) of the segment containing `long`."""
-    best, _, idxs = _containing_segment(pts, npts, long, s)
-    a = _oh_pick2(pts[..., :-1, :], best, idxs)
-    b = _oh_pick2(pts[..., 1:, :], best, idxs)
+    best, _, _ = _containing_segment(pts, npts, long, s)
+    a, b = _oh_pick_pair(pts, best)
     return jnp.arctan2(b[..., 1] - a[..., 1], b[..., 0] - a[..., 0])
 
 
@@ -191,13 +199,11 @@ def uniform_pose_and_ahead(upath, unpts, spacing, long, total, deltas,
     spaced ahead along the same fixed-spacing path. Computing each with its
     own uniform_point recomputes the chord index and re-reads the
     (per-env gathered) path from HBM — profiled at ~0.3 ms/step at Waymo
-    scale. Here the chord index `i` is computed once, and each delta builds
-    only a small [.., P] one-hot over the already-loaded path (XLA fuses the
-    per-delta contractions into one pass over `pts`; materializing
-    end-shifted [.., P, 2] copies of the path instead was measured slower
-    than the extra one-hots). The index clamp in pick() reproduces
-    uniform_point's endpoint clamp because rows pad [unpts:] with the
-    endpoint.
+    scale. Here the chord index `i` is computed once and ALL the needed
+    rows (i, i+1, and i+delta for each delta, clamped like uniform_point's
+    endpoint clamp — rows pad [unpts:] with the endpoint) contract in ONE
+    stacked einsum whose mask is a single broadcast compare, so the path
+    is read once and no bool mask materializes (see uniform_pose).
 
     Returns (pos [.., 2], heading [..], [points at i+d for d in deltas]).
     """
@@ -206,19 +212,19 @@ def uniform_pose_and_ahead(upath, unpts, spacing, long, total, deltas,
     ar = jnp.arange(P)
     pts = upath.astype(jnp.float32) if scale is not None else upath
 
-    def pick(d):
-        # uniform_point's index clamp; a fresh small one-hot per delta (NOT a
-        # shifted copy of the path — materializing end-shifted [..,P,2]
-        # copies cost more than the contractions they fed)
-        j = jnp.clip(jnp.minimum(i + d, unpts - 1), 0, P - 1)
-        oh = (j[..., None] == ar).astype(jnp.float32)
-        p = (oh[..., None] * pts).sum(-2)
-        return origin + scale * p if scale is not None else p
-
-    p0, p1 = pick(0), pick(1)
+    ds = jnp.asarray((0, 1) + tuple(deltas))               # [K]
+    j = jnp.clip(
+        jnp.minimum(i[..., None] + ds, (unpts - 1)[..., None]), 0, P - 1
+    )                                                      # [.., K]
+    oh = (j[..., None] == ar).astype(jnp.float32)          # [.., K, P]
+    pp = jnp.einsum("...kp,...pd->...kd", oh, pts)         # [.., K, 2]
+    if scale is not None:
+        pp = origin[..., None, :] + scale * pp
+    p0 = pp[..., 0, :]
+    p1 = pp[..., 1, :]
     pos = p0 + frac[..., None] * (p1 - p0)
     heading = jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
-    return pos, heading, [pick(d) for d in deltas]
+    return pos, heading, [pp[..., 2 + k, :] for k in range(len(deltas))]
 
 
 def in_band(pts, npts, pos, half_width):
