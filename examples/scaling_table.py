@@ -33,8 +33,20 @@ import json, time
 import numpy as np
 from metadrive_ped_tpu import MetaDriveEnv
 from metadrive_ped_tpu.parallel import ShardedEnv
-env = MetaDriveEnv(dict(
-    num_envs=%(num_envs)d, map=3, num_scenarios=8, traffic_density=0.05))
+if "%(config)s" == "scenario":
+    from metadrive_ped_tpu.envs.scenario_env import ScenarioEnv
+    from metadrive_ped_tpu.scenario import export_scenarios
+    src = MetaDriveEnv(dict(num_envs=4, map="CS", num_scenarios=4,
+                            traffic_density=0.4, traffic_mode="respawn"))
+    src.reset(seed=0)
+    sds = list(export_scenarios(
+        src, 60, actions=np.tile([0.0, 0.7], (4, 1)).astype(np.float32)
+    ).values())
+    env = ScenarioEnv(dict(num_envs=%(num_envs)d, scenario_data=sds,
+                           reactive_traffic=True))
+else:
+    env = MetaDriveEnv(dict(
+        num_envs=%(num_envs)d, map=3, num_scenarios=8, traffic_density=0.05))
 if %(n)d > 1:
     env = ShardedEnv(env)
 env.reset(seed=0)
@@ -48,8 +60,8 @@ print(json.dumps(dict(devices=%(n)d, num_envs=%(num_envs)d,
 """
 
 
-def _run(n, num_envs, steps):
-    code = _WORKER % dict(n=n, num_envs=num_envs, steps=steps)
+def _run(n, num_envs, steps, config="pg"):
+    code = _WORKER % dict(n=n, num_envs=num_envs, steps=steps, config=config)
     out = subprocess.run(
         [sys.executable, "-c", code], cwd=ROOT, capture_output=True,
         text=True, timeout=1800,
@@ -65,13 +77,16 @@ def main():
     p.add_argument("--envs-per-device", type=int, default=256)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
+    p.add_argument("--config", default="pg", choices=("pg", "scenario"),
+                   help="env family (VERDICT r3 item 3: sharding must hold "
+                        "for BOTH families)")
     args = p.parse_args()
 
     rows = []
     for n in args.devices:
         total = n * args.envs_per_device
-        base = _run(1, total, args.steps)       # same total work, unsharded
-        shard = _run(n, total, args.steps) if n > 1 else base
+        base = _run(1, total, args.steps, args.config)  # same total, unsharded
+        shard = _run(n, total, args.steps, args.config) if n > 1 else base
         rows.append((n, total, base["steps_per_s"], shard["steps_per_s"]))
 
     print("\n| devices | total envs | unsharded steps/s | sharded steps/s | overhead |")
