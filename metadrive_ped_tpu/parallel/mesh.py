@@ -68,9 +68,15 @@ class ShardedEnv:
     def reset(self, seed=0):
         obs, info = self.env.reset(seed)
         self._put_state()
-        # re-run the first obs under the sharded state so downstream steps
-        # stay sharded end to end
-        return jax.device_put(obs, self._shard2), info
+        # shard the cached obs IN PLACE, not just the returned copy: the
+        # rollout jit takes env._last_obs as an input, and an unsharded
+        # first-call obs vs the sharded obs every later call produces
+        # different input shardings — a pjit cache miss that recompiled the
+        # whole rollout on the second (timed) call (found by the scenario
+        # sharding-overhead study: the "sharded" column was compile time)
+        obs = jax.device_put(obs, self._shard2)
+        self.env._last_obs = obs
+        return obs, info
 
     def step(self, actions):
         actions = jax.device_put(
