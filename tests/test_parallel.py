@@ -126,3 +126,21 @@ def test_sharded_scenario_env_matches_unsharded():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
     assert len(sharded.env._state.ego.pos.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_rollout_compiles_once():
+    """Regression (round 4): ShardedEnv.reset used to shard the returned
+    obs copy but leave env._last_obs unsharded, so the rollout jit saw
+    different input shardings on its first vs second call and recompiled
+    every other invocation — the sharding-overhead study's 'sharded'
+    column was silently measuring compile time."""
+    env = ShardedEnv(MetaDriveEnv(dict(num_envs=16, map="S", num_scenarios=1,
+                                       traffic_density=0.1)))
+    env.reset(seed=0)
+    acts = np.tile([0.0, 1.0], (16, 1)).astype(np.float32)
+    env.rollout(3, actions=acts)
+    env.rollout(3, actions=acts)
+    env.rollout(3, actions=acts)
+    assert env.env._rollout_jit._cache_size() == 1, \
+        "sharded rollout must reuse one executable across calls"
