@@ -19,12 +19,6 @@ def _oh_pick(values, best, idxs):
     return (values * oh).sum(-1)
 
 
-def _oh_pick2(points, best, idxs):
-    """Select points[..., best, :] ([.., P, 2]) via one-hot contraction."""
-    oh = (best[..., None] == idxs).astype(points.dtype)
-    return (points * oh[..., None]).sum(-2)
-
-
 def _oh_pick_pair(pts, best):
     """Rows best and best+1 of pts [.., P, 2] from ONE contraction reading
     the path once. The mask is a single broadcast compare — building it
