@@ -259,16 +259,17 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
 
     if respawn_mode:
         # Respawn at the original spawn slot when it is clear
-        # (traffic_manager.py:94-122 _create_respawn_vehicles recycling)
+        # (traffic_manager.py:94-122 _create_respawn_vehicles recycling);
+        # spawn poses are static per scenario — host-precomputed row gathers
+        # instead of an in-kernel lane lookup (core/structs.py)
         spawn_lane = scene.npc_lane[sidx]
-        gs = lane_geom.gather_lane(scene, sidx[:, None], spawn_lane)
-        spawn_pos = lane_geom.position(gs, scene.npc_long[sidx], jnp.zeros((E, N)))
+        spawn_pos = scene.npc_spawn_pos[sidx]
         d2 = ((spawn_pos[:, :, None, :] - cand_pos[:, None, :, :]) ** 2).sum(-1)
         clear = (jnp.where(cand_active[:, None, :], d2, jnp.inf).min(axis=2) > 8.0 ** 2)
         do = at_end & clear
         keep_dead = at_end & ~clear
         pos = jnp.where(do[..., None], spawn_pos, pos)
-        heading = jnp.where(do, lane_geom.heading_theta_at(gs, scene.npc_long[sidx]), heading)
+        heading = jnp.where(do, scene.npc_spawn_heading[sidx], heading)
         speed = jnp.where(do, 0.0, speed)
         vel_dir = jnp.where(do, 0.0, vel_dir)
         new_lane = jnp.where(do, spawn_lane, new_lane)
