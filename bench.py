@@ -41,6 +41,20 @@ def _make_env(config_name, num_envs, scenarios):
         sds = [_synthetic_waymo_sd(s) for s in range(scenarios)]
         return ScenarioEnv(dict(num_envs=num_envs, scenario_data=sds,
                                 reactive_traffic=True))
+    if config_name == "scenario_replay":
+        # the reference's Waymo-replay FPS protocol
+        # (tests/benchmark_FPS/benchmark_waymo.py:15-46): ReplayEgoCarPolicy,
+        # lidar 120 + side 160 + lane-line 12 lasers, 100-step scenarios
+        from metadrive_ped_tpu import ScenarioEnv
+        sds = [_synthetic_waymo_sd(s) for s in range(scenarios)]
+        return ScenarioEnv(dict(
+            num_envs=num_envs, scenario_data=sds, replay_ego=True,
+            vehicle_config=dict(
+                lidar=dict(num_lasers=120),
+                side_detector=dict(num_lasers=160),
+                lane_line_detector=dict(num_lasers=12),
+            ),
+        ))
     if config_name == "scenario_recorded":
         # legacy round-2 protocol: small self-exported PG scenes
         import tempfile
@@ -199,7 +213,7 @@ def main():
     p.add_argument("--density", type=float, default=0.05)
     p.add_argument("--config", default="all",
                    choices=("all", "pg", "safe", "marl", "scenario",
-                            "scenario_recorded"),
+                            "scenario_replay", "scenario_recorded"),
                    help="BASELINE.json config family; the default 'all' "
                         "measures every family and emits one JSON line "
                         "(value = the canonical PG protocol number)")
@@ -209,7 +223,7 @@ def main():
     # (Waymo-scale: ~16 IDM cars/scene, lights, 20% ped/cyclist) at 4096;
     # marl 512 envs x 40 agents; scenario_recorded (small PG exports) at 1024
     default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 4096,
-                    "scenario_recorded": 1024}
+                    "scenario_replay": 4096, "scenario_recorded": 1024}
     steps = args.steps or (30 if args.quick else 200)
     scenarios = args.scenarios or (4 if args.quick else 16)
     families = (("pg", "safe", "marl", "scenario") if args.config == "all"
