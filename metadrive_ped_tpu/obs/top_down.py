@@ -135,24 +135,7 @@ def observe_top_down(textures, origins, sidx, ego, npc, past_pos,
     road = jnp.maximum(road, lines * 0.5)  # lane lines over drivable area
 
     # dynamic stamping: other vehicles as OBBs in the ego frame
-    def stamp(pos, heading, length, width, active):
-        rel = pos - ego.pos[:, None, :]                       # [E,N,2]
-        rx = (rel * hv[:, None, :]).sum(-1)
-        ry = (rel * rv[:, None, :]).sum(-1)
-        rel_h = heading - ego.heading[:, None]
-        c, s = jnp.cos(rel_h), jnp.sin(rel_h)
-        # pixel offsets relative to each vehicle center, in vehicle frame
-        dxp = fwd_g[None, :, :, None] - rx[:, None, None, :]  # [E,R,R,N]
-        dyp = side_g[None, :, :, None] - ry[:, None, None, :]
-        lx = dxp * c[:, None, None, :] + dyp * s[:, None, None, :]
-        ly = -dxp * s[:, None, None, :] + dyp * c[:, None, None, :]
-        inside = (
-            (jnp.abs(lx) <= length[:, None, None, :] / 2)
-            & (jnp.abs(ly) <= width[:, None, None, :] / 2)
-            & active[:, None, None, :]
-        )
-        return inside.any(-1).astype(jnp.float32)
-
+    stamp = lambda *a: _stamp_obbs(fwd_g, side_g, hv, rv, ego, *a)
     others = stamp(npc.pos, npc.heading, npc.params.length, npc.params.width, npc.active)
     ego_layer = stamp(
         ego.pos[:, None, :], ego.heading[:, None], ego.params.length[:, None],
@@ -165,6 +148,27 @@ def observe_top_down(textures, origins, sidx, ego, npc, past_pos,
         jnp.ones(past_pos.shape[:2], bool),
     )
     return jnp.stack([road, route, others, ego_layer, past], axis=-1)
+
+
+def _stamp_obbs(fwd_g, side_g, hv, rv, ego, pos, heading, length, wid, active):
+    """Rasterize rotated boxes into the ego-frame pixel grid
+    (fwd_g/side_g [H,W]); returns the occupancy layer [E,H,W]."""
+    rel = pos - ego.pos[:, None, :]                       # [E,N,2]
+    rx = (rel * hv[:, None, :]).sum(-1)
+    ry = (rel * rv[:, None, :]).sum(-1)
+    rel_h = heading - ego.heading[:, None]
+    c, s = jnp.cos(rel_h), jnp.sin(rel_h)
+    # pixel offsets relative to each body center, in that body's frame
+    dxp = fwd_g[None, :, :, None] - rx[:, None, None, :]  # [E,H,W,N]
+    dyp = side_g[None, :, :, None] - ry[:, None, None, :]
+    lx = dxp * c[:, None, None, :] + dyp * s[:, None, None, :]
+    ly = -dxp * s[:, None, None, :] + dyp * c[:, None, None, :]
+    inside = (
+        (jnp.abs(lx) <= length[:, None, None, :] / 2)
+        & (jnp.abs(ly) <= wid[:, None, None, :] / 2)
+        & active[:, None, None, :]
+    )
+    return inside.any(-1).astype(jnp.float32)
 
 
 def observe_mini_map(textures, origins, sidx, ego, npc, width=168, height=84,
@@ -208,23 +212,7 @@ def observe_mini_map(textures, origins, sidx, ego, npc, width=168, height=84,
     road = jnp.maximum(sample(0), sample(1) * 0.5)
     route = sample(2)
 
-    def stamp(pos, heading, length, wid, active):
-        rel = pos - ego.pos[:, None, :]
-        rx = (rel * hv[:, None, :]).sum(-1)
-        ry = (rel * rv[:, None, :]).sum(-1)
-        rel_h = heading - ego.heading[:, None]
-        c, s = jnp.cos(rel_h), jnp.sin(rel_h)
-        dxp = fwd_g[None, :, :, None] - rx[:, None, None, :]
-        dyp = side_g[None, :, :, None] - ry[:, None, None, :]
-        lx = dxp * c[:, None, None, :] + dyp * s[:, None, None, :]
-        ly = -dxp * s[:, None, None, :] + dyp * c[:, None, None, :]
-        inside = (
-            (jnp.abs(lx) <= length[:, None, None, :] / 2)
-            & (jnp.abs(ly) <= wid[:, None, None, :] / 2)
-            & active[:, None, None, :]
-        )
-        return inside.any(-1).astype(jnp.float32)
-
+    stamp = lambda *a: _stamp_obbs(fwd_g, side_g, hv, rv, ego, *a)
     cars = jnp.maximum(
         stamp(npc.pos, npc.heading, npc.params.length, npc.params.width,
               npc.active),
