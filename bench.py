@@ -2,12 +2,16 @@
 
 Mirrors the reference profiling protocol
 (metadrive/examples/profile_metadrive.py:16-43 — full-throttle action,
-traffic_density 0.05, FPS excluding reset) scaled to the batched TPU build:
-4096 lockstep envs in one jit'd step on a single chip.
+traffic_density 0.05, FPS excluding reset) scaled to the batched TPU build
+(pg: 8192 lockstep envs in one jit'd step on a single chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The default measures EVERY BASELINE family (pg / safe / marl / scenario)
+and prints ONE JSON line:
+{"metric", "value": <pg>, "unit", "vs_baseline", "configs": {...}}.
 vs_baseline is against the reference's published single-process speed
 (~1500 env-steps/s on a standard PC, documentation/source/index.rst:18).
+Extra protocols: --config scenario_replay (the reference's Waymo-replay
+FPS benchmark) and scenario_recorded (small self-exported packs).
 """
 import argparse
 import json
