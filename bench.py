@@ -225,7 +225,8 @@ def main():
 
     # measured on v5e (round 4): pg at 8192; safe at 4096; scenario
     # (Waymo-scale: ~16 IDM cars/scene, lights, 20% ped/cyclist) at 4096;
-    # marl 512 envs x 40 agents; scenario_recorded (small PG exports) at 1024
+    # marl 512 envs x 8 agents (BASELINE.json protocol);
+    # scenario_recorded (small PG exports) at 1024
     default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 4096,
                     "scenario_replay": 4096, "scenario_recorded": 1024}
     steps = args.steps or (30 if args.quick else 200)

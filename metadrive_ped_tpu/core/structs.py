@@ -157,17 +157,28 @@ class Scene:
         p1 = np.asarray(pack["seg_p1"], np.float32)
         both = np.concatenate([p0, p1], axis=1) if p0.shape[1] else p0
         if both.shape[1]:
-            lo = both.min(axis=1)                        # [S, 2]
-            hi = both.max(axis=1)
+            # padding rows (seg_valid False) must not widen the span: clamp
+            # them to the valid extent before computing origin/scale
+            valid2 = np.concatenate(
+                [np.asarray(pack["seg_valid"], bool)] * 2, axis=1
+            )[..., None]                                 # [S, 2B, 1]
+            any_valid = valid2.any(axis=(1, 2), keepdims=True)
+            big = np.float32(np.inf)
+            lo = np.where(any_valid[:, 0],
+                          np.where(valid2, both, big).min(axis=1), 0.0)
+            hi = np.where(any_valid[:, 0],
+                          np.where(valid2, both, -big).max(axis=1), 0.0)
             origin = (lo + hi) / 2
-            span = np.abs(both - origin[:, None, :]).max(axis=(1, 2))  # [S]
+            span = np.abs(hi - origin).max(axis=1)       # [S]
         else:
             origin = np.zeros((p0.shape[0], 2), np.float32)
             span = np.zeros(p0.shape[0], np.float32)
         scale = np.maximum(0.025, span / 32000.0).astype(np.float32)
-        quant = lambda p: np.round(
+        # clip (don't wrap) so out-of-extent padding rows can't alias onto
+        # real coordinates; consumers also mask with seg_valid
+        quant = lambda p: np.clip(np.round(
             (p - origin[:, None, :]) / scale[:, None, None]
-        ).astype(np.int16)
+        ), -32767, 32767).astype(np.int16)
         arrays["seg_p0_q"] = jnp.asarray(quant(p0))
         arrays["seg_p1_q"] = jnp.asarray(quant(p1))
         arrays["seg_origin"] = jnp.asarray(origin.astype(np.float32))

@@ -169,11 +169,15 @@ def main():
     for it in range(args.iters):
         t0 = time.perf_counter()
         rng, k_roll, k_upd = jax.random.split(rng, 3)
+        obs0 = env._last_obs  # obs the FIRST action of this rollout sees
         outs, mean_r = env.rollout(
             args.rollout, policy_fn=sample_policy(params, k_roll),
             collect=("obs", "reward", "terminated", "truncated", "ego_action"),
         )
-        obs_t = outs["obs"]                                   # [T,E,D]
+        # rollout collects the POST-step obs; a_t was sampled from the obs
+        # BEFORE step t, so shift by one (at done steps outs["obs"][t] is
+        # already the auto-reset obs of the next episode)
+        obs_t = jnp.concatenate([obs0[None], outs["obs"][:-1]], axis=0)
         act_t = outs["ego_action"]
         rew_t = outs["reward"]
         done_t = (outs["terminated"] | outs["truncated"]).astype(jnp.float32)

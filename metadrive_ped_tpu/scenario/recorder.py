@@ -28,8 +28,6 @@ def _map_features(pack, s):
     from metadrive_ped_tpu.obs.top_down import _lane_centerline
 
     feats = {}
-    n_lanes = int(np.sum(pack["lane_valid"][s])) if "lane_valid" in pack \
-        else pack["lane_kind"].shape[1]
     succ = pack.get("lane_succ")
     left = pack.get("lane_left")
     right = pack.get("lane_right")
