@@ -6,12 +6,13 @@ traffic_density 0.05, FPS excluding reset) scaled to the batched TPU build
 (pg: 8192 lockstep envs in one jit'd step on a single chip).
 
 The default measures EVERY BASELINE family (pg / safe / marl / scenario)
-and prints ONE JSON line:
+plus the reference-default MARL crowd (marl_40: 40 agents/env) and the
+reference's own Waymo-replay FPS protocol (scenario_replay), and prints
+ONE JSON line:
 {"metric", "value": <pg>, "unit", "vs_baseline", "configs": {...}}.
 vs_baseline is against the reference's published single-process speed
 (~1500 env-steps/s on a standard PC, documentation/source/index.rst:18).
-Extra protocols: --config scenario_replay (the reference's Waymo-replay
-FPS benchmark) and scenario_recorded (small self-exported packs).
+Extra protocol: --config scenario_recorded (small self-exported packs).
 """
 import argparse
 import json
@@ -34,6 +35,14 @@ def _make_env(config_name, num_envs, scenarios):
         return SafeMetaDriveEnv(dict(num_envs=num_envs,
                                      num_scenarios=scenarios, horizon=1000))
     if config_name == "marl":
+        # BASELINE.json MARL protocol: 8 agents/env (the class default is
+        # now the reference's 40 — pinned here for cross-round continuity)
+        from metadrive_ped_tpu import MultiAgentRoundaboutEnv
+        return MultiAgentRoundaboutEnv(dict(num_envs=num_envs, num_agents=8))
+    if config_name == "marl_40":
+        # the reference's default roundabout crowd (40 agents,
+        # marl_inout_roundabout.py:23): quadratic [E,A,A] mutual
+        # lidar/collision at 1600 pairwise terms per env
         from metadrive_ped_tpu import MultiAgentRoundaboutEnv
         return MultiAgentRoundaboutEnv(dict(num_envs=num_envs))
     if config_name == "scenario":
@@ -216,8 +225,9 @@ def main():
     p.add_argument("--scenarios", type=int, default=None)
     p.add_argument("--density", type=float, default=0.05)
     p.add_argument("--config", default="all",
-                   choices=("all", "pg", "safe", "marl", "scenario",
-                            "scenario_replay", "scenario_recorded"),
+                   choices=("all", "pg", "safe", "marl", "marl_40",
+                            "scenario", "scenario_replay",
+                            "scenario_recorded"),
                    help="BASELINE.json config family; the default 'all' "
                         "measures every family and emits one JSON line "
                         "(value = the canonical PG protocol number)")
@@ -227,16 +237,20 @@ def main():
     # (Waymo-scale: ~16 IDM cars/scene, lights, 20% ped/cyclist) at 4096;
     # marl 512 envs x 8 agents (BASELINE.json protocol);
     # scenario_recorded (small PG exports) at 1024
-    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "scenario": 4096,
+    default_envs = {"pg": 8192, "safe": 4096, "marl": 512, "marl_40": 256,
+                    "scenario": 4096,
                     "scenario_replay": 4096, "scenario_recorded": 1024}
     steps = args.steps or (30 if args.quick else 200)
     scenarios = args.scenarios or (4 if args.quick else 16)
-    families = (("pg", "safe", "marl", "scenario") if args.config == "all"
+    families = (("pg", "safe", "marl", "marl_40", "scenario",
+                 "scenario_replay") if args.config == "all"
                 else (args.config,))
 
     results = {}
     for fam in families:
-        num_envs = args.num_envs or (256 if args.quick else default_envs[fam])
+        quick_envs = 64 if fam == "marl_40" else 256
+        num_envs = args.num_envs or (quick_envs if args.quick
+                                     else default_envs[fam])
         results[fam] = round(_measure(fam, num_envs, steps, scenarios), 1)
 
     lead = families[0] if args.config != "all" else "pg"
@@ -249,7 +263,8 @@ def main():
         "vs_baseline": round(results[lead] / REFERENCE_FPS, 2),
     }
     if len(results) > 1:
-        # marl counts agent-steps/s (8 agents/env); the rest env-steps/s
+        # marl/marl_40 count agent-steps/s (8 / 40 agents per env); the
+        # rest env-steps/s
         out["configs"] = results
     print(json.dumps(out))
 

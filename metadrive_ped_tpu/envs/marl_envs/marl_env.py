@@ -57,6 +57,12 @@ class MultiAgentMetaDrive(MetaDriveEnv):
                 out_of_road_cost=0.0,
                 traffic_density=0.0,
                 vehicle_config=dict(lidar=dict(num_lasers=72, distance=40.0)),
+                # reference MARL scene configs carry top-down camera poses
+                # (marl_inout_roundabout.py:20-22 et al.) — accepted and
+                # ignored: there is no realtime top-down camera to aim
+                top_down_camera_initial_x=0,
+                top_down_camera_initial_y=0,
+                top_down_camera_initial_z=120,
             ),
             allow_add_new_key=True,
         )
@@ -307,87 +313,150 @@ class MultiAgentMetaDrive(MetaDriveEnv):
 
 class MultiAgentRoundaboutEnv(MultiAgentMetaDrive):
     """MARL roundabout scene (reference: marl_envs/marl_inout_roundabout.py):
-    one Roundabout block, agents spawn on all four arms."""
+    one Roundabout block, 40 agents spawning on all four arms.
+
+    The map is the reference's fixed MARoundaboutMap (marl_inout_roundabout
+    .py:27-64): FirstPGBlock(exit_length=60) + Roundabout(random_seed=1,
+    exit_radius=10, inner_radius=30, angle=70, EXIT_PART_LENGTH=60)."""
 
     @classmethod
     def default_config(cls):
         config = super().default_config()
         config.update(
             dict(
-                map="O",
-                num_agents=8,
-                map_config=dict(lane_width=3.5, lane_num=2, exit_length=50.0),
+                map="O",  # informational; the real map is custom_blocks below
+                num_agents=40,
+                map_config=dict(
+                    lane_width=3.5, lane_num=2, exit_length=60.0,
+                    custom_blocks=[dict(id="O", random_seed=1, config=dict(
+                        exit_radius=10.0, inner_radius=30.0, angle=70.0,
+                        exit_part_length=60.0,
+                    ))],
+                ),
                 spawn_roads=[
                     (">>", ">>>"),
                     ("-1O0_3_", "-1O0_2_"),
                     ("-1O1_3_", "-1O1_2_"),
                     ("-1O2_3_", "-1O2_2_"),
                 ],
-            )
+            ),
+            allow_add_new_key=True,
         )
         return config
 
 
 class MultiAgentBottleneckEnv(MultiAgentMetaDrive):
     """MARL bottleneck scene (reference: marl_envs/marl_bottleneck.py):
-    Merge then Split corridor; agents spawn at both ends."""
+    a 4-lane road bottling to a 1-lane neck and splitting back, 20 agents
+    spawning at both 4-lane ends.
+
+    The map is the reference's fixed MABottleneckMap (marl_bottleneck.py:
+    28-67): FirstPGBlock(4 lanes, exit_length=60) + Merge(drop 3,
+    length=neck_length=20) + Split(add 3, length=60), random_seed=1."""
 
     @classmethod
     def default_config(cls):
         config = super().default_config()
         config.update(
             dict(
-                map="yY",
-                num_agents=8,
-                map_config=dict(lane_width=3.5, lane_num=2, exit_length=50.0),
+                map="yY",  # informational; the real map is custom_blocks below
+                num_agents=20,
+                map_config=dict(
+                    lane_width=3.5, lane_num=4, exit_length=60.0,
+                    bottle_lane_num=4, neck_lane_num=1, neck_length=20.0,
+                    custom_blocks=[
+                        dict(id="y", random_seed=1,
+                             config=dict(lane_num=3, length=20.0)),
+                        dict(id="Y", random_seed=1,
+                             config=dict(lane_num=3, length=60.0)),
+                    ],
+                ),
                 spawn_roads=[
                     (">>", ">>>"),
                     ("-2Y0_1_", "-2Y0_0_"),
                 ],
-            )
+                cross_yellow_line_done=True,
+                vehicle_config=dict(
+                    side_detector=dict(num_lasers=4, distance=50.0),
+                    lane_line_detector=dict(num_lasers=4, distance=20.0),
+                ),
+            ),
+            allow_add_new_key=True,
         )
         return config
 
 
 class MultiAgentBidirectionEnv(MultiAgentMetaDrive):
     """MARL bidirection scene (reference: marl_envs/marl_bidirection.py):
-    a shared single-lane span driven from both ends."""
+    a shared bidirectional span between two 4-lane approaches, 20 agents
+    driven from both ends.
+
+    The map is the reference's fixed MABidirectionMap (marl_bidirection.py:
+    29-71): FirstPGBlock(4 lanes, exit_length=60) + Merge(drop 3, length=3)
+    + Bidirection + Split(add 3, length=60), random_seed=1."""
 
     @classmethod
     def default_config(cls):
         config = super().default_config()
         config.update(
             dict(
-                map="B",
-                num_agents=4,
-                map_config=dict(lane_width=3.5, lane_num=1, exit_length=50.0),
+                map="yBY",  # informational; the real map is custom_blocks below
+                num_agents=20,
+                map_config=dict(
+                    lane_width=3.5, lane_num=4, exit_length=60.0,
+                    bottle_lane_num=4, neck_lane_num=1, neck_length=20.0,
+                    custom_blocks=[
+                        dict(id="y", random_seed=1,
+                             config=dict(lane_num=3, length=3.0)),
+                        dict(id="B", random_seed=1),
+                        dict(id="Y", random_seed=1,
+                             config=dict(lane_num=3, length=60.0)),
+                    ],
+                ),
                 spawn_roads=[
                     (">>", ">>>"),
-                    ("-1B0_0_", "->>>"),
+                    ("-3Y0_1_", "-3Y0_0_"),
                 ],
-            )
+                cross_yellow_line_done=True,
+                vehicle_config=dict(
+                    side_detector=dict(num_lasers=4, distance=50.0),
+                    lane_line_detector=dict(num_lasers=4, distance=20.0),
+                ),
+            ),
+            allow_add_new_key=True,
         )
         return config
 
 
 class MultiAgentIntersectionEnv(MultiAgentMetaDrive):
     """MARL intersection scene (reference: marl_envs/marl_intersection.py):
-    one StdInterSection block, agents spawn on all four arms."""
+    one StdInterSection block, 30 agents spawning on all four arms.
+
+    The map is the reference's fixed MAIntersectionMap (marl_intersection
+    .py:27-68): FirstPGBlock(exit_length=60) + InterSection(random_seed=1,
+    EXIT_PART_LENGTH=60). The reference's lane_num>1 u-turn connector
+    (enable_u_turn) is not wired — see docs/divergences.md."""
 
     @classmethod
     def default_config(cls):
         config = super().default_config()
         config.update(
             dict(
-                map="X",
-                num_agents=8,
-                map_config=dict(lane_width=3.5, lane_num=2, exit_length=50.0),
+                map="X",  # informational; the real map is custom_blocks below
+                num_agents=30,
+                map_config=dict(
+                    lane_width=3.5, lane_num=2, exit_length=60.0,
+                    custom_blocks=[dict(id="X", random_seed=1, config=dict(
+                        exit_part_length=60.0,
+                    ))],
+                ),
                 spawn_roads=[
                     (">>", ">>>"),
                     ("-1X0_1_", "-1X0_0_"),
                     ("-1X1_1_", "-1X1_0_"),
                     ("-1X2_1_", "-1X2_0_"),
                 ],
-            )
+            ),
+            allow_add_new_key=True,
         )
         return config

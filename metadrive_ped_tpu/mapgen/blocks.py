@@ -767,10 +767,14 @@ class Roundabout(PGBlock):
         ) and none_cross
         self._spawn_segments.append(Road(seg_start, seg_end).get_lanes(self.block_network))
 
-        # exit curve off the ring (roundabout.py:110-133)
+        # exit curve off the ring (roundabout.py:110-133); the MARL
+        # roundabout map sets Roundabout.EXIT_PART_LENGTH = exit_length
+        # (marl_inout_roundabout.py:46) — honored here per-instance via the
+        # "exit_part_length" config key, like InterSection
         tool = HostStraightLane(straight_next.position(-5, 0), straight_next.position(0, 0), width)
         bend3, straight3 = create_bend_straight(
-            tool, self.EXIT_PART_LENGTH, radius_exit, math.radians(angle), True, width,
+            tool, self.config.get("exit_part_length", self.EXIT_PART_LENGTH),
+            radius_exit, math.radians(angle), True, width,
             [LINE_BROKEN, LINE_SIDE]
         )
         seg_start = seg_end

@@ -273,3 +273,55 @@ def test_marl_same_step_respawns_claim_distinct_slots():
     st2 = env._respawn(st, mask)
     slots = np.asarray(st2.ego.slot)
     assert len(np.unique(slots)) == 6, f"slots must be distinct, got {slots}"
+
+
+def test_marl_reference_default_crowds():
+    """Scene class defaults match the reference's crowd sizes
+    (marl_inout_roundabout.py:23 num_agents=40, marl_intersection.py:19
+    30, marl_bottleneck.py:12 20, marl_bidirection.py:13 20; roundabout
+    exit_length 60) with spawn-slot capacity to seat them."""
+    from metadrive_ped_tpu.envs.marl_envs import (
+        MultiAgentBidirectionEnv, MultiAgentBottleneckEnv
+    )
+    expect = {
+        MultiAgentRoundaboutEnv: 40,
+        MultiAgentIntersectionEnv: 30,
+        MultiAgentBottleneckEnv: 20,
+        MultiAgentBidirectionEnv: 20,
+    }
+    for Env, n in expect.items():
+        cfg = Env.default_config()
+        assert cfg["num_agents"] == n, (Env.__name__, cfg["num_agents"])
+        assert cfg["map_config"]["exit_length"] == 60.0
+    env = MultiAgentRoundaboutEnv(dict(num_envs=1))
+    assert int(np.asarray(env.scene.slot_valid).sum()) >= 40
+    env.close()
+
+
+def test_marl_crowd_40_agents_respawn_delay_done():
+    """The reference-default crowd regime: 40 agents on the roundabout,
+    quadratic [E,A,A] mutual lidar/collision, delay-done corpses and
+    respawn under crowding (multi_agent_metadrive.py defaults)."""
+    env = MultiAgentRoundaboutEnv(
+        dict(num_envs=2, delay_done=5, allow_respawn=True, horizon=200)
+    )
+    assert env.agents_per_env == 40
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (2, 40, 91)
+    # full throttle into the roundabout: expect crashes, corpses, respawns
+    saw_done = saw_respawn = False
+    dead_prev = np.zeros((2, 40), bool)
+    for _ in range(60):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 1.0], (2, 40, 1)))
+        te = np.asarray(te)
+        dead = np.asarray(env._state.dead_timer).reshape(2, 40) > 0
+        if te.any():
+            saw_done = True
+        if (dead_prev & ~dead).any():
+            saw_respawn = True
+        dead_prev = dead
+    assert np.isfinite(np.asarray(obs)).all()
+    assert (np.asarray(obs) >= 0).all() and (np.asarray(obs) <= 1).all()
+    assert saw_done, "40 agents at full throttle must produce terminations"
+    assert saw_respawn, "corpses must respawn after delay_done under crowding"
+    env.close()
