@@ -71,16 +71,20 @@ def _lane_gaps(g, exists, npc_pos, npc_len,
                cand_pos, cand_speed, cand_len, cand_active, not_self):
     """Front/back gap search projected on pre-gathered lanes ``g`` [E,N]
     (FrontBackObjects, idm_policy.py:10-174); ``exists`` [E,N] masks rows
-    whose lane id was < 0. Returns (front_gap, front_speed, back_gap)."""
+    whose lane id was < 0. Returns (front_gap, front_speed, back_gap).
+
+    Distances are CENTER-to-center longitudinal deltas, the reference's
+    convention (idm_policy.py:110-118: ``lane.local_coordinates(obj
+    .position)[0] - current_long`` with no body-length subtraction) —
+    pinned decision-for-decision by tools/ref_idm_oracle.py."""
     long_self, _ = lane_geom.local_coordinates(g, npc_pos)
     g_b = {k: (v[:, :, None] if v.ndim == 2 else v[:, :, None, :]) for k, v in g.items()}
     long_c, lat_c = lane_geom.local_coordinates(g_b, cand_pos[:, None, :, :])  # [E,N,C]
     on_lane = jnp.abs(lat_c) < (g["width"][:, :, None] / 2)
     base_valid = on_lane & cand_active[:, None, :] & not_self & exists[:, :, None]
-    gap_sizes = (cand_len[:, None, :] + npc_len[:, :, None]) / 2
 
     ahead = long_c > long_self[:, :, None]
-    fgap = long_c - long_self[:, :, None] - gap_sizes
+    fgap = long_c - long_self[:, :, None]
     fgap = jnp.where(base_valid & ahead & (fgap < MAX_LONG_DIST), fgap, jnp.inf)
     # plain min-reduce + where-select instead of argmin/take_along_axis —
     # TPU lowers the latter to serialized iota-reduce + scalar gathers,
@@ -92,10 +96,81 @@ def _lane_gaps(g, exists, npc_pos, npc_len,
     )
     front_speed = jnp.where(jnp.isfinite(front_speed), front_speed, 0.0)
 
-    bgap = long_self[:, :, None] - long_c - gap_sizes
+    bgap = long_self[:, :, None] - long_c
     bgap = jnp.where(base_valid & ~ahead & (bgap < MAX_LONG_DIST), bgap, jnp.inf)
     back_gap = bgap.min(axis=2)
     return front_gap, front_speed, back_gap
+
+
+def lane_change_decision(v_kmh, front_gap, front_speed, overtake_timer,
+                         succ_exists, l_exists, r_exists, l_cont, r_cont,
+                         l_front, l_front_speed, l_back,
+                         r_front, r_front_speed, r_back):
+    """The reference's lane_change_policy decision tree
+    (idm_policy.py:330-402) as a pure batched function; all distances are
+    center-to-center longitudinal deltas (inf = no object within
+    MAX_LONG_DIST), speeds in m/s, pinned against the reference-executed
+    golden (tools/ref_idm_oracle.py -> tests/goldens/ref_idm.json).
+
+    Returns (go_left, go_right, creep, acc_gap, acc_front_speed,
+    overtake_timer') — acc_gap/speed are the (front object, distance) pair
+    the acceleration model must react to after the decision.
+    """
+    has_front = jnp.isfinite(front_gap)
+    front_kmh = front_speed * 3.6
+
+    # --- forced lane change on lane drop (idm_policy.py:339-374) ----------
+    # the reference detects the drop from navigation's next_ref_lanes
+    # count; here a lane with no successor while a neighbor continues is
+    # the same event. Unsafe target side => creep at CREEP_SPEED.
+    must_change = ~succ_exists & (l_cont | r_cont)
+    want_left = must_change & l_cont
+    want_right = must_change & ~l_cont & r_cont
+    # forced-change margins (idm_policy.py:351-366: creep when
+    # back < SAFE_LANE_CHANGE_DISTANCE or front < 5)
+    l_clear = (l_back >= SAFE_LANE_CHANGE_DISTANCE) & (l_front >= 5.0)
+    r_clear = (r_back >= SAFE_LANE_CHANGE_DISTANCE) & (r_front >= 5.0)
+    forced_left = want_left & l_clear
+    forced_right = want_right & r_clear
+    creep = (want_left & ~l_clear) | (want_right & ~r_clear)
+
+    # --- overtake lane change (idm_policy.py:377-397) ---------------------
+    deviate = (
+        (jnp.abs(v_kmh - NORMAL_SPEED) > 3.0)
+        & has_front & (jnp.abs(front_kmh - NORMAL_SPEED) > 3.0)
+        & (overtake_timer > LANE_CHANGE_FREQ)
+        & ~must_change
+    )
+    # never overtake onto an ending lane while the current one continues
+    # (available_routing_index_range, idm_policy.py:336-348)
+    l_route_ok = l_cont | ~succ_exists
+    r_route_ok = r_cont | ~succ_exists
+    # the reference's side-speed term (idm_policy.py:380-384): an EXISTING
+    # side-front object contributes its speed with NO distance safety
+    # check (quirk preserved); only the no-object MAX_SPEED term requires
+    # front/back > SAFE_LANE_CHANGE_DISTANCE
+    l_has_front = jnp.isfinite(l_front)
+    r_has_front = jnp.isfinite(r_front)
+    l_open = l_exists & (l_front > SAFE_LANE_CHANGE_DISTANCE) & (l_back > SAFE_LANE_CHANGE_DISTANCE)
+    r_open = r_exists & (r_front > SAFE_LANE_CHANGE_DISTANCE) & (r_back > SAFE_LANE_CHANGE_DISTANCE)
+    l_kmh = jnp.where(l_has_front, l_front_speed * 3.6,
+                      jnp.where(l_open, MAX_SPEED, -jnp.inf))
+    r_kmh = jnp.where(r_has_front, r_front_speed * 3.6,
+                      jnp.where(r_open, MAX_SPEED, -jnp.inf))
+    go_left = forced_left | (
+        deviate & l_exists & l_route_ok & (l_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE)
+    )
+    go_right = forced_right | (
+        deviate & ~go_left & r_exists & r_route_ok
+        & (r_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE)
+    )
+    go_right = go_right & ~go_left
+    changed = go_left | go_right
+    overtake_timer = jnp.where(changed, 0, overtake_timer + 1)
+    acc_gap = jnp.where(go_left, l_front, jnp.where(go_right, r_front, front_gap))
+    acc_front_speed = jnp.where(go_left, l_front_speed,
+                                jnp.where(go_right, r_front_speed, front_speed))
+    return go_left, go_right, creep, acc_gap, acc_front_speed, overtake_timer
 
 
 def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
@@ -152,52 +227,24 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     l_front, l_front_speed, l_back = gaps(gL, l_exists)
     r_front, r_front_speed, r_back = gaps(gR, r_exists)
 
-    # --- forced lane change on lane drop (idm_policy.py:339-374) ----------
-    # an NPC whose lane has no successor while a neighbor lane continues
-    # (merge/bottleneck/ramp end) must move over; when the target side is
-    # unsafe it creeps at CREEP_SPEED behind its front gap until clear.
-    succ_self = g["succ"]
+    v_kmh = npc.speed * 3.6
     l_cont = l_exists & (gL["succ"] >= 0)
     r_cont = r_exists & (gR["succ"] >= 0)
-    must_change = (succ_self < 0) & (l_cont | r_cont)
-    want_left = must_change & l_cont
-    want_right = must_change & ~l_cont & r_cont
-    # forced-change safety margins (idm_policy.py:352-366: back >= SAFE,
-    # front >= 5)
-    l_clear = (l_back >= SAFE_LANE_CHANGE_DISTANCE) & (l_front >= 5.0)
-    r_clear = (r_back >= SAFE_LANE_CHANGE_DISTANCE) & (r_front >= 5.0)
-    forced_left = want_left & l_clear
-    forced_right = want_right & r_clear
-    creep = (want_left & ~l_clear) | (want_right & ~r_clear)
-
-    # --- overtake lane change (idm_policy.py:344-369) ---------------------
-    v_kmh = npc.speed * 3.6
-    has_front = jnp.isfinite(front_gap)
-    front_kmh = jnp.where(has_front, front_speed * 3.6, MAX_SPEED)
-    deviate = (
-        (jnp.abs(v_kmh - NORMAL_SPEED) > 3.0)
-        & has_front & (jnp.abs(front_kmh - NORMAL_SPEED) > 3.0)
-        & (npc.overtake_timer > LANE_CHANGE_FREQ)
-        & ~must_change
+    (go_left, go_right, creep, acc_gap, acc_front_speed,
+     overtake_timer) = lane_change_decision(
+        v_kmh, front_gap, front_speed, npc.overtake_timer,
+        succ_exists=g["succ"] >= 0,
+        l_exists=l_exists, r_exists=r_exists, l_cont=l_cont, r_cont=r_cont,
+        l_front=l_front, l_front_speed=l_front_speed, l_back=l_back,
+        r_front=r_front, r_front_speed=r_front_speed, r_back=r_back,
     )
-    # never overtake onto an ending lane while the current one continues
-    # (available_routing_index_range, idm_policy.py:346-349)
-    l_route_ok = l_cont | (succ_self < 0)
-    r_route_ok = r_cont | (succ_self < 0)
-    l_safe = l_exists & l_route_ok & (l_front > SAFE_LANE_CHANGE_DISTANCE) & (l_back > SAFE_LANE_CHANGE_DISTANCE)
-    r_safe = r_exists & r_route_ok & (r_front > SAFE_LANE_CHANGE_DISTANCE) & (r_back > SAFE_LANE_CHANGE_DISTANCE)
-    l_kmh = jnp.where(jnp.isfinite(l_front), l_front_speed * 3.6, MAX_SPEED)
-    r_kmh = jnp.where(jnp.isfinite(r_front), r_front_speed * 3.6, MAX_SPEED)
-    go_left = forced_left | (deviate & l_safe & (l_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE))
-    go_right = forced_right | (
-        deviate & ~go_left & r_safe & (r_kmh - front_kmh > LANE_CHANGE_SPEED_INCREASE)
-    )
-    go_right = go_right & ~go_left
+    if expert_mask is not None:
+        # expert-driven NPCs steer with the expert policy — IDM lane-change
+        # decisions must not move their lane bookkeeping (their lane tracks
+        # the BODY, see the lateral reassignment below)
+        go_left = go_left & ~expert_mask
+        go_right = go_right & ~expert_mask
     target = jnp.where(go_left, g["left"], jnp.where(go_right, g["right"], npc.lane))
-    changed = go_left | go_right
-    overtake_timer = jnp.where(changed, 0, npc.overtake_timer + 1)
-    acc_gap = jnp.where(go_left, l_front, jnp.where(go_right, r_front, front_gap))
-    acc_front_speed = jnp.where(go_left, l_front_speed, jnp.where(go_right, r_front_speed, front_speed))
     acc_has_front = jnp.isfinite(acc_gap)
 
     gt = lane_geom.gather_lane(scene, sidx[:, None], target)
@@ -251,11 +298,20 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
 
     # --- route advance / arrival (traffic_manager.py:94-122) --------------
     g2 = gt  # same lookup as the steering target — reuse, don't re-contract
-    long2, _ = lane_geom.local_coordinates(g2, pos)
+    long2, lat2 = lane_geom.local_coordinates(g2, pos)
     passed = long2 > g2["length"]
     succ = g2["succ"]
     new_lane = jnp.where(passed & (succ >= 0), succ, target)
     at_end = passed & (succ < 0) & moving
+    if expert_mask is not None:
+        # expert NPCs change lanes on their own: track the body by lateral
+        # offset (positive lateral = right of the lane centerline), like the
+        # reference's per-step ray localization of every vehicle
+        drift_r = (lat2 > gt["width"] / 2) & (g["right"] >= 0)
+        drift_l = (lat2 < -gt["width"] / 2) & (g["left"] >= 0)
+        reassign = jnp.where(drift_r, g["right"],
+                             jnp.where(drift_l, g["left"], target))
+        new_lane = jnp.where(expert_mask & ~passed & moving, reassign, new_lane)
 
     if respawn_mode:
         # Respawn at the original spawn slot when it is clear

@@ -113,18 +113,24 @@ def test_expert_closes_episodes_end_to_end():
     """Behavioral parity: the reference's released PPO expert checkpoint
     drives THIS simulator to the destination on most episodes (random PG
     maps + traffic). Round-4 attribution (tools/expert_attribution.py)
-    traced the old ~0.42 rate to 100%-deterministic out-of-road failures on
-    outer spawn lanes of curving maps — a mirrored navi/neighbor lateral
-    sign (convert_to_local_coordinates is LEFT-positive in the reference;
-    localization._checkpoint_info) — after which success is ~0.85+; the
-    floor is 0.6 to absorb seed noise and the bicycle-model divergence."""
+    traced the old ~0.42 rate to a mirrored navi/neighbor lateral sign
+    (convert_to_local_coordinates is LEFT-positive in the reference;
+    localization._checkpoint_info). Round-5 attribution of the remaining
+    traffic residual (~0.15 at density 0.1): pre-crash geometry shows
+    crossing NPCs inside intersections (heading diff 100-135 deg) — a
+    blindness the reference's IDMPolicy shares structurally (its
+    ``obj.lane is lane`` front filter cannot see crossing traffic and it
+    has no yield logic), so the residual is reference-faithful, not a
+    decision divergence (decisions are oracle-pinned in
+    test_parity_reference.py). Measured 0.88 on this protocol; floor 0.75
+    absorbs platform numerics."""
     import numpy as np
     import jax.numpy as jnp
     from metadrive_ped_tpu import MetaDriveEnv
     from metadrive_ped_tpu.policies.expert import expert_action, load_expert_params
     params = load_expert_params()
     env = MetaDriveEnv(dict(
-        num_envs=16, map=3, num_scenarios=4, traffic_density=0.05,
+        num_envs=32, map=3, num_scenarios=8, traffic_density=0.05,
         vehicle_config=dict(lidar=dict(num_lasers=240, num_others=4)),
         horizon=1000,
     ))
@@ -134,9 +140,9 @@ def test_expert_closes_episodes_end_to_end():
     term = np.asarray(outs["terminated"])
     suc = (term & np.asarray(outs["arrive_dest"])).sum()
     fin = term.sum()
-    assert fin >= 10, f"expert should finish episodes, finished {fin}"
+    assert fin >= 20, f"expert should finish episodes, finished {fin}"
     rate = suc / fin
-    assert rate >= 0.6, f"expert success rate collapsed: {rate:.2f} ({suc}/{fin})"
+    assert rate >= 0.75, f"expert success rate collapsed: {rate:.2f} ({suc}/{fin})"
 
 
 def test_expert_reference_protocol_ccc():
