@@ -63,6 +63,15 @@ class ScenarioEnv:
                 num_workers=1,
                 no_traffic=False,
                 reactive_traffic=False,
+                # curriculum config keys (scenario_env.py:31-33): with
+                # curriculum_level > 1 the scenario set splits into that
+                # many contiguous difficulty bands and the env levels up
+                # when the recent success rate clears target_success_rate
+                # (ScenarioCurriculumManager semantics; same machinery as
+                # envs/curriculum.py CurriculumWrapper, driven by config)
+                curriculum_level=1,
+                episodes_to_evaluate_curriculum=None,
+                target_success_rate=0.8,
                 # localize the ego against the compiled map-feature lane
                 # network (ScenarioMap/ScenarioLane, scenario_env.py:38
                 # need_lane_localization); strict out-of-road then requires
@@ -138,6 +147,26 @@ class ScenarioEnv:
         self.scene = ScenarioScene.from_pack(pack)
         self.num_envs = cfg["num_envs"]
         self._state = None
+        # ---- curriculum (scenario_env.py:31-33 config keys; manager/
+        # scenario_curriculum_manager.py:38-84 semantics) ------------------
+        self._cur_levels = int(cfg["curriculum_level"])
+        if self._cur_levels > 1:
+            assert self.num_scenarios % self._cur_levels == 0, (
+                "Each level should have the same number of scenarios"
+            )
+            from collections import deque
+            self._cur_total = self.num_scenarios
+            self._cur_band = self.num_scenarios // self._cur_levels
+            self._cur_level = 0
+            self._cur_eval = (cfg["episodes_to_evaluate_curriculum"]
+                              or self._cur_band)
+            self._cur_recent = deque(maxlen=self._cur_eval)
+            # episodes sample only the current band (state.scenario_cap
+            # carries it through the jitted step; level-up is a host swap)
+            self.num_scenarios = self._cur_band
+        # data_coverage (scenario_data_manager.py:185-190): fraction of this
+        # worker's dataset that has entered an episode, times num_workers
+        self._seen_scenarios = set()
         self._step_jit = jax.jit(self._step_impl, donate_argnums=0)
         self._reset_jit = jax.jit(self._reset_impl)
         self._reset_jit_cap = self.num_scenarios
@@ -153,13 +182,79 @@ class ScenarioEnv:
         rng = jax.random.PRNGKey(0 if seed is None else seed)
         self._state, obs, info = self._reset_jit(rng)
         self._last_obs = obs
+        if "env_seed" in info:
+            self._track_coverage(info)
+        info["curriculum_level"] = self.current_level
+        info["data_coverage"] = self.data_coverage
         return obs, info
 
     def step(self, actions):
         actions = jnp.asarray(actions, jnp.float32).reshape(self.num_envs, 2)
         self._state, obs, reward, term, trunc, info = self._step_jit(self._state, actions)
         self._last_obs = obs
+        self._track_coverage(info)
+        if self._cur_levels > 1:
+            self._curriculum_update(term, trunc, info)
+        # host-side scalars like the reference's step_info keys
+        # (scenario_env.py:280-283); per-env device arrays stay device-side
+        info["curriculum_level"] = self.current_level
+        info["data_coverage"] = self.data_coverage
+        if self._cur_levels > 1:
+            info["curriculum_success"] = self.current_success_rate
         return obs, reward, term, trunc, info
+
+    # ---- curriculum / coverage stats (reference step_info surface) -------
+    @property
+    def current_level(self):
+        """0-based current curriculum level (engine.current_level,
+        scenario_env.py:280)."""
+        return self._cur_level if self._cur_levels > 1 else 0
+
+    @property
+    def current_success_rate(self):
+        if self._cur_levels <= 1 or not self._cur_recent:
+            return 0.0
+        return float(sum(self._cur_recent)) / self._cur_eval
+
+    @property
+    def data_coverage(self):
+        """Fraction of this worker's dataset that has entered an episode,
+        times num_workers (scenario_data_manager.py:185-190). Updated on
+        .step()/.reset() calls (rollout() scans device-side and does not
+        touch the host counter)."""
+        total = getattr(self, "_cur_total", self.num_scenarios)
+        return (len(self._seen_scenarios) / max(total, 1)
+                * self.config["num_workers"])
+
+    def _track_coverage(self, info):
+        start = self.config["start_scenario_index"]
+        seeds = np.unique(np.asarray(info["env_seed"]))
+        self._seen_scenarios.update(int(s) - start for s in seeds)
+
+    def _curriculum_update(self, term, trunc, info):
+        done = np.asarray(term) | np.asarray(trunc)
+        if not done.any():
+            return
+        success = np.asarray(info["arrive_dest"])[done]
+        self._cur_recent.extend(bool(s) for s in success)
+        if (
+            self.current_success_rate
+            >= self.config["target_success_rate"] - 1e-3
+            and self._cur_level < self._cur_levels - 1
+        ):
+            from collections import deque
+
+            from metadrive_ped_tpu.core.logger import get_logger
+            self._cur_level += 1
+            self.num_scenarios = self._cur_band * (self._cur_level + 1)
+            get_logger().info(
+                "curriculum level %d/%d: scenario band -> %d",
+                self._cur_level, self._cur_levels, self.num_scenarios,
+            )
+            self._cur_recent = deque(maxlen=self._cur_eval)
+            if self._state is not None:
+                cap = jnp.full_like(self._state.scenario_cap, self.num_scenarios)
+                self._state = self._state.replace(scenario_cap=cap)
 
     def close(self):
         self._state = None

@@ -320,3 +320,51 @@ def test_exported_sd_lane_connectivity(recorded_scenarios):
     goal = lanes[start]["exit_lanes"][0]
     path = net.shortest_path(start, goal)
     assert path and path[-1] == goal
+
+
+def test_scenario_env_curriculum_config_surface(recorded_scenarios):
+    """The reference's curriculum/coverage config surface runs unchanged
+    (scenario_env.py:31-33 curriculum_level/episodes_to_evaluate_curriculum
+    config keys; :280-283 step_info curriculum_level +
+    scenario_data_manager.py:185-190 data_coverage)."""
+    env = ScenarioEnv(dict(
+        num_envs=2, scenario_data=recorded_scenarios,
+        curriculum_level=2, episodes_to_evaluate_curriculum=2,
+        target_success_rate=0.5, sequential_seed=True,
+    ))
+    obs, info = env.reset(seed=0)
+    assert info["curriculum_level"] == 0
+    assert env.num_scenarios == len(recorded_scenarios) // 2
+    obs, r, te, tr, inf = env.step(np.tile([0.0, 0.5], (2, 1)))
+    assert inf["curriculum_level"] == 0
+    assert 0.0 < inf["data_coverage"] <= 1.0
+    # feed successes to trip the leveling rule on the next done step
+    env._cur_recent.extend([True, True])
+    compiles_before = env._step_jit._cache_size()
+    env._curriculum_update(
+        np.array([True, False]), np.array([False, False]),
+        dict(arrive_dest=np.array([True, False])),
+    )
+    assert env.current_level == 1
+    assert env.num_scenarios == len(recorded_scenarios)
+    assert int(np.asarray(env._state.scenario_cap)[0]) == len(recorded_scenarios)
+    obs, r, te, tr, inf = env.step(np.tile([0.0, 0.5], (2, 1)))
+    assert inf["curriculum_level"] == 1
+    assert env._step_jit._cache_size() == compiles_before, (
+        "config-driven level-up must not recompile the step"
+    )
+    env.close()
+
+
+def test_scenario_env_data_coverage_grows(recorded_scenarios):
+    """data_coverage counts distinct scenarios that entered an episode over
+    the worker's dataset (scenario_data_manager.py:185-190)."""
+    env = ScenarioEnv(dict(num_envs=4, scenario_data=recorded_scenarios,
+                           sequential_seed=True))
+    obs, info = env.reset(seed=0)
+    cov0 = info["data_coverage"]
+    assert 0.0 < cov0 <= 1.0
+    for _ in range(5):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 0.5], (4, 1)))
+    assert inf["data_coverage"] >= cov0
+    env.close()
