@@ -746,7 +746,13 @@ class BaseVectorEnv:
         """Combined (pos, heading, len, wid, active) arrays of every
         lidar-visible / collidable body: NPC vehicles + static traffic
         objects + pedestrians/cyclists (reference lidar mask, lidar.py:28)
-        + any extra vehicle targets (other MARL agents)."""
+        + any extra vehicle targets (other MARL agents).
+
+        kinds["radius"] marks the reference's cylinder bodies (pedestrian
+        r=0.35, cone r=0.2, warning r=0.5 — pedestrian.py:12-118,
+        traffic_object.py:43-160): radius > 0 rows ray-cast and collide as
+        circles. It is None when the compiled scenes contain no cylinder
+        bodies at all, so the plain-vehicle hot path pays nothing."""
         scene, sidx, npc = self.scene, state.sidx, state.npc
         ped_pos, ped_heading = participants.ped_world_pose(scene, sidx, state.ped)
         pos = [npc.pos, scene.obj_pos[sidx], ped_pos]
@@ -762,9 +768,22 @@ class BaseVectorEnv:
                 lst.append(arr)
             X = extra[0].shape[1]
         pos = jnp.concatenate(pos, axis=1)
+        radius = None
+        if self._scene_has_cylinders():
+            from metadrive_ped_tpu.mapgen.scene import (
+                OBJ_CONE, OBJ_WARNING, PED_WALKER
+            )
+            okind = scene.obj_kind[sidx]
+            obj_r = jnp.where(okind == OBJ_CONE, 0.2,
+                              jnp.where(okind == OBJ_WARNING, 0.5, 0.0))
+            ped_r = jnp.where(scene.ped_kind[sidx] == PED_WALKER, 0.35, 0.0)
+            radius = jnp.concatenate([
+                jnp.zeros((pos.shape[0], N)), obj_r, ped_r,
+                jnp.zeros((pos.shape[0], X)),
+            ], axis=1)
         kinds = dict(
             npc=slice(0, N), obj=slice(N, N + O), ped=slice(N + O, N + O + P),
-            agents=slice(N + O + P, N + O + P + X),
+            agents=slice(N + O + P, N + O + P + X), radius=radius,
         )
         return (
             pos,
@@ -773,6 +792,25 @@ class BaseVectorEnv:
             jnp.concatenate(width, axis=1),
             jnp.concatenate(active, axis=1),
         ), kinds
+
+    def _scene_has_cylinders(self):
+        """Static (host-side) check: does ANY compiled scene carry a
+        cone/warning object or a pedestrian walker?"""
+        cached = getattr(self, "_has_cylinders", None)
+        if cached is None:
+            from metadrive_ped_tpu.mapgen.scene import (
+                OBJ_CONE, OBJ_WARNING, PED_WALKER
+            )
+            ok = np.asarray(self.scene.obj_kind)
+            ov = np.asarray(self.scene.obj_valid)
+            pk = np.asarray(self.scene.ped_kind)
+            pv = np.asarray(self.scene.ped_valid)
+            cached = bool(
+                (ov & ((ok == OBJ_CONE) | (ok == OBJ_WARNING))).any()
+                or (pv & (pk == PED_WALKER)).any()
+            )
+            self._has_cylinders = cached
+        return cached
 
     def _step_traffic(self, state, npc, ego, dt, rep, light_block):
         """Advance NPC traffic one decision step (IDM + optional expert
@@ -847,7 +885,7 @@ class BaseVectorEnv:
     def _observe(self, state, ego_long, ego_lat):
         vc = self.config["vehicle_config"]
         lidar_cfg = vc["lidar"]
-        targets, _ = self._lidar_targets(state)
+        targets, t_kinds = self._lidar_targets(state)
         noisy = lidar_cfg["gaussian_noise"] > 0 or lidar_cfg["dropout_prob"] > 0
         rng = None
         if noisy:
@@ -875,6 +913,7 @@ class BaseVectorEnv:
             lane_line_distance=vc["lane_line_detector"]["distance"],
             line_segs=line_segs,
             random_agent_model=self.config["random_agent_model"],
+            t_radius=t_kinds["radius"],
         )
 
     # ------------------------------------------------------------------ step
@@ -971,11 +1010,23 @@ class BaseVectorEnv:
         # contact flags (_state_check, base_vehicle.py:700-792)
         targets, kinds = self._lidar_targets(state)
         t_pos, t_heading, t_len, t_wid, t_active = targets
+        t_radius = kinds["radius"]
         hits = collision.obb_obb_overlap(
             ego.pos[:, None, :], ego.heading[:, None],
             ego.params.length[:, None], ego.params.width[:, None],
             t_pos, t_heading, t_len, t_wid,
         ) & t_active
+        if t_radius is not None:
+            # cylinder bodies (pedestrians/cones/warnings) use the exact
+            # OBB-vs-circle test for crash onset instead of their bounding
+            # box (reference shapes: pedestrian.py:12-118, traffic_object.py)
+            circ = t_radius > 0
+            circ_hits = collision.obb_circle_overlap(
+                ego.pos[:, None, :], ego.heading[:, None],
+                ego.params.length[:, None], ego.params.width[:, None],
+                t_pos, t_radius,
+            ) & t_active & circ
+            hits = jnp.where(circ, circ_hits, hits)
         crash_v = hits[:, kinds["npc"]].any(axis=1) | hits[:, kinds["agents"]].any(axis=1)
         obj_hits = hits[:, kinds["obj"]]
         # toll booths are buildings, not traffic objects (crash_building vs

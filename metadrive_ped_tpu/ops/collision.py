@@ -78,6 +78,18 @@ def obb_obb_overlap(c1, h1, len1, wid1, c2, h2, len2, wid2):
         axes_overlap(c2, h2, len2, wid2, c1, h1, len1, wid1)
 
 
+def obb_circle_overlap(c1, h1, len1, wid1, c2, r2):
+    """Exact 2D OBB-vs-circle test (the reference's cylinder bodies:
+    pedestrians r=0.35, cones r=0.2, warnings r=0.5 — Bullet
+    BulletCylinderShape narrowphase, pedestrian.py:64-77 /
+    traffic_object.py:60-74): the closest point of the box to the circle
+    center lies within the radius. Broadcasts over batch axes."""
+    bx, by = _to_frame(c2, c1, h1)
+    dx = jnp.maximum(jnp.abs(bx) - len1 / 2, 0.0)
+    dy = jnp.maximum(jnp.abs(by) - wid1 / 2, 0.0)
+    return dx * dx + dy * dy <= r2 * r2
+
+
 def ego_npc_crash(ego_pos, ego_heading, ego_len, ego_wid,
                   npc_pos, npc_heading, npc_len, npc_wid, npc_active):
     """crash_vehicle flag: ego OBB vs any active NPC OBB. npc_* are [E,N]."""

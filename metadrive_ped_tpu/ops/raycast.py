@@ -44,15 +44,53 @@ def ray_obb_fraction(origin, angles, max_dist, obb_c, obb_h, obb_len, obb_wid, o
     return frac.min(axis=2)
 
 
+def ray_circle_fraction(origin, angles, max_dist, c, r, active):
+    """Min hit fraction of rays against circles (the reference's cylinder
+    bodies: pedestrians r=0.35 pedestrian.py:12-118, cones r=0.2 /
+    warnings r=0.5 traffic_object.py:43-160).
+
+    origin [E,2]; angles [E,R]; c [E,N,2]; r [E,N]; active [E,N] -> [E,R].
+    """
+    dirx = jnp.cos(angles)[:, :, None]               # [E,R,1]
+    diry = jnp.sin(angles)[:, :, None]
+    relx = c[..., 0][:, None, :] - origin[:, 0][:, None, None]   # [E,R,N]
+    rely = c[..., 1][:, None, :] - origin[:, 1][:, None, None]
+    # |o + t d - c|^2 = r^2 with |d| = 1: t^2 - 2 b t + (|rel|^2 - r^2) = 0
+    b = relx * dirx + rely * diry
+    disc = b * b - (relx * relx + rely * rely - (r * r)[:, None, :])
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_in, t_out = b - root, b + root
+    t = jnp.where(t_in >= 0, t_in, t_out)  # origin inside -> exit point
+    hit = (disc >= 0) & (t_out >= 0) & active[:, None, :]
+    frac = jnp.where(hit, jnp.clip(t / max_dist, 0.0, 1.0), 1.0)
+    return frac.min(axis=2)
+
+
 def lidar_cloud(ego_pos, ego_heading, num_rays, max_dist,
-                npc_pos, npc_heading, npc_len, npc_wid, npc_active):
+                npc_pos, npc_heading, npc_len, npc_wid, npc_active,
+                radius=None):
     """The 240-point lidar cloud (lidar.py:16-73): fraction of `max_dist`
-    to the nearest vehicle along each of `num_rays` fanned rays."""
+    to the nearest body along each of `num_rays` fanned rays.
+
+    ``radius`` [E,N] (optional) marks cylinder bodies: rows with
+    radius > 0 ray-cast as circles of that radius (the reference's
+    pedestrian/cone/warning cylinders); rows with radius <= 0 stay OBBs."""
     i = jnp.arange(num_rays, dtype=jnp.float32)
     angles = ego_heading[:, None] + (2.0 * jnp.pi / num_rays) * i[None, :]
-    return ray_obb_fraction(
-        ego_pos, angles, max_dist, npc_pos, npc_heading, npc_len, npc_wid, npc_active
+    if radius is None:
+        return ray_obb_fraction(
+            ego_pos, angles, max_dist, npc_pos, npc_heading, npc_len,
+            npc_wid, npc_active
+        )
+    circ = radius > 0
+    box_frac = ray_obb_fraction(
+        ego_pos, angles, max_dist, npc_pos, npc_heading, npc_len, npc_wid,
+        npc_active & ~circ,
     )
+    circ_frac = ray_circle_fraction(
+        ego_pos, angles, max_dist, npc_pos, radius, npc_active & circ
+    )
+    return jnp.minimum(box_frac, circ_frac)
 
 
 def ray_segment_fraction(origin, angles, max_dist, p0, p1, valid):
