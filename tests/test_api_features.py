@@ -466,3 +466,43 @@ def test_get_map_features_and_draw_map(tmp_path):
     smf = senv.get_map_features(0)
     assert any("LANE" in str(v.get("type", "")).upper() for v in smf.values())
     env.close(); senv.close()
+
+
+def test_verify_image_observation_example():
+    """Twin of the reference's verify_image_observation.py: all camera
+    modalities + MiniMap produce well-shaped, well-typed, stacked image
+    observations (smoke scale)."""
+    import os
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "metadrive_ped_tpu.examples.verify_image_observation",
+         "--cpu", "--num-envs", "2", "--steps", "2",
+         "--width", "32", "--height", "24"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "all image observation checks passed" in r.stdout
+
+
+def test_generate_video_example():
+    """Twin of the reference's generate_video_for_bev_and_interface.py:
+    one expert episode -> temporally aligned BEV + dashboard videos."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    out = tempfile.mkdtemp()
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "metadrive_ped_tpu.examples.generate_video_for_bev_and_interface",
+         "--cpu", "--steps", "6", "--bev-size", "128", "--out", out],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = os.listdir(out)
+    assert any(f.startswith("0_bev") for f in files), files
+    assert any(f.startswith("0_interface") for f in files), files
