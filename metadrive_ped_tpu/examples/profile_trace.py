@@ -53,6 +53,23 @@ def _make_env(config, num_envs, scenarios):
         sds = [bench._synthetic_waymo_sd(s) for s in range(scenarios)]
         return ScenarioEnv(dict(num_envs=num_envs, scenario_data=sds,
                                 reactive_traffic=True))
+    if config == "scenario_replay":
+        # the reference's Waymo-replay FPS protocol (bench.py
+        # --config scenario_replay shapes: replay ego, 120+160+12 lasers)
+        import importlib.util, os
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "..", "bench.py"))
+        bench = importlib.util.module_from_spec(spec); spec.loader.exec_module(bench)
+        from metadrive_ped_tpu.envs.scenario_env import ScenarioEnv
+        sds = [bench._synthetic_waymo_sd(s) for s in range(scenarios)]
+        return ScenarioEnv(dict(
+            num_envs=num_envs, scenario_data=sds, replay_ego=True,
+            vehicle_config=dict(
+                lidar=dict(num_lasers=120),
+                side_detector=dict(num_lasers=160),
+                lane_line_detector=dict(num_lasers=12),
+            ),
+        ))
     raise ValueError(config)
 
 
@@ -70,7 +87,7 @@ def parse_trace(logdir, top=25):
 def main():
     import jax
     p = argparse.ArgumentParser()
-    p.add_argument("--config", default="pg", choices=("pg", "marl", "scenario", "scenario_waymo"))
+    p.add_argument("--config", default="pg", choices=("pg", "marl", "scenario", "scenario_waymo", "scenario_replay"))
     p.add_argument("--num-envs", "-e", type=int, default=1024)
     p.add_argument("--num-steps", "-n", type=int, default=50)
     p.add_argument("--num-scenarios", type=int, default=16)

@@ -59,6 +59,37 @@ IDM_CREATE_FORWARD_CONSTRAINT = -1.0
 IDM_CREATE_MIN_LENGTH = 5.0
 
 
+def _simplify_polyline(line, tol=0.05):
+    """Douglas-Peucker simplification (iterative): drop points whose
+    perpendicular deviation from the chord is below ``tol``. Boundary
+    segments only — lane centerlines keep their uniform resample."""
+    n = len(line)
+    if n <= 2:
+        return line
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = line[i], line[j]
+        ab = b - a
+        denom = float(np.hypot(ab[0], ab[1]))
+        mid = line[i + 1:j]
+        if denom < 1e-9:
+            d = np.hypot(mid[:, 0] - a[0], mid[:, 1] - a[1])
+        else:
+            d = np.abs((mid[:, 0] - a[0]) * ab[1]
+                       - (mid[:, 1] - a[1]) * ab[0]) / denom
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return line[keep]
+
+
 def _resample(line, step=LANE_RESAMPLE_M, max_pts=LANE_MAX_PTS):
     """Uniform arc-length resample (utils/math.py resample_polyline)."""
     d = np.linalg.norm(np.diff(line, axis=0), axis=1)
@@ -245,7 +276,12 @@ def compile_scenario(sd):
         )
         if line.ndim != 2 or len(line) < 2:
             continue
-        line = line[:, :2]
+        # boundary polylines arrive densely sampled (Waymo edges carry a
+        # point every ~0.5-2 m); collapse collinear runs before emitting
+        # segments — the ray-vs-segment pass is O(E x rays x B) and B is
+        # the side detector's whole cost. 5 cm tolerance sits at the int16
+        # quantization floor (core/structs.py), far below obs resolution.
+        line = _simplify_polyline(line[:, :2], tol=0.05)
         for a, b in zip(line[:-1], line[1:]):
             seg_p0.append(a)
             seg_p1.append(b)
