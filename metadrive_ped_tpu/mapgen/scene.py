@@ -55,16 +55,27 @@ PROHIBIT_SCENE_PROB = 0.67
 SIDEWALK_LINE_DIST = 0.6  # reference: constants.py:320
 SIDEWALK_HALF_WIDTH = 1.0  # sidewalk is 2 m wide (constants.py:319)
 LINE_CONTACT_HALF_WIDTH = 0.075  # lane line width 0.15 (constants.py:314)
-ARC_CHORD_LEN = 4.0
+ARC_CHORD_LEN = 4.0  # legacy fixed chord (callers may still pass max_chord)
+ARC_SAG_TOL = 0.1    # max chord-to-arc deviation, metres
 
 # Traffic vehicle class sampling weights over (s, m, l, xl, default)
 # (reference: vehicle_type.py random_vehicle_type + traffic_manager.py:300).
 NPC_CLASS_PROBS = np.array([0.2, 0.3, 0.3, 0.2, 0.0])
 
 
-def _lane_polyline(lane, lateral, max_chord=ARC_CHORD_LEN):
-    """Sample a lateral-offset line of `lane` as a polyline."""
+def _lane_polyline(lane, lateral, max_chord=None):
+    """Sample a lateral-offset line of `lane` as a polyline.
+
+    Arc chords are sized by SAG, not a fixed length: chord L on radius R
+    deviates from the arc by L^2/(8R), so L = sqrt(8*R*tol) keeps every
+    boundary within ARC_SAG_TOL of the true arc — tighter than the old
+    fixed 4 m chords on small radii (20 cm sag at R=10) AND emitting
+    fewer segments on gentle arcs (the per-step contact pass is O(E x B),
+    see the round-5 scenario profile)."""
     if lane.kind == LANE_CIRCULAR:
+        if max_chord is None:
+            radius = max(abs(getattr(lane, "radius", 10.0) + lateral), 1.0)
+            max_chord = max(1.0, math.sqrt(8.0 * radius * ARC_SAG_TOL))
         n = max(2, int(math.ceil(lane.length / max_chord)) + 1)
     else:
         n = 2
