@@ -325,3 +325,20 @@ def test_marl_crowd_40_agents_respawn_delay_done():
     assert saw_done, "40 agents at full throttle must produce terminations"
     assert saw_respawn, "corpses must respawn after delay_done under crowding"
     env.close()
+
+
+def test_marl_bottleneck_topology_matches_reference():
+    """MABottleneckMap/MABidirectionMap parity: 4-lane approaches
+    bottling to a 1-lane neck and splitting back (bottle_lane_num=4,
+    neck_lane_num=1 — marl_bottleneck.py:12-14, marl_bidirection.py:13)."""
+    from metadrive_ped_tpu.envs.marl_envs import (
+        MultiAgentBidirectionEnv, MultiAgentBottleneckEnv
+    )
+    for Env in (MultiAgentBottleneckEnv, MultiAgentBidirectionEnv):
+        env = Env(dict(num_envs=1))
+        nl = np.asarray(env._pack["road_nlanes"])
+        neg = np.asarray(env._pack["road_negative"])
+        counts = nl[(nl > 0) & ~neg]
+        assert counts.max() == 4, f"{Env.__name__}: 4-lane approaches expected"
+        assert (counts == 1).any(), f"{Env.__name__}: 1-lane neck expected"
+        env.close()
