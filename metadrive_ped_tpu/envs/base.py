@@ -784,6 +784,7 @@ class BaseVectorEnv:
         kinds = dict(
             npc=slice(0, N), obj=slice(N, N + O), ped=slice(N + O, N + O + P),
             agents=slice(N + O + P, N + O + P + X), radius=radius,
+            circle_slice=slice(N, N + O + P),
         )
         return (
             pos,
@@ -913,7 +914,7 @@ class BaseVectorEnv:
             lane_line_distance=vc["lane_line_detector"]["distance"],
             line_segs=line_segs,
             random_agent_model=self.config["random_agent_model"],
-            t_radius=t_kinds["radius"],
+            t_radius=t_kinds["radius"], circle_slice=t_kinds["circle_slice"],
         )
 
     # ------------------------------------------------------------------ step
@@ -1020,13 +1021,14 @@ class BaseVectorEnv:
             # cylinder bodies (pedestrians/cones/warnings) use the exact
             # OBB-vs-circle test for crash onset instead of their bounding
             # box (reference shapes: pedestrian.py:12-118, traffic_object.py)
-            circ = t_radius > 0
+            sl = kinds["circle_slice"]
+            circ = t_radius[:, sl] > 0
             circ_hits = collision.obb_circle_overlap(
                 ego.pos[:, None, :], ego.heading[:, None],
                 ego.params.length[:, None], ego.params.width[:, None],
-                t_pos, t_radius,
-            ) & t_active & circ
-            hits = jnp.where(circ, circ_hits, hits)
+                t_pos[:, sl], t_radius[:, sl],
+            ) & t_active[:, sl] & circ
+            hits = hits.at[:, sl].set(jnp.where(circ, circ_hits, hits[:, sl]))
         crash_v = hits[:, kinds["npc"]].any(axis=1) | hits[:, kinds["agents"]].any(axis=1)
         obj_hits = hits[:, kinds["obj"]]
         # toll booths are buildings, not traffic objects (crash_building vs

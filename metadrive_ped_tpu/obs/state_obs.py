@@ -106,7 +106,7 @@ def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_
             num_others=0, npc=None, gaussian_noise=0.0, dropout_prob=0.0, rng=None,
             side_lasers=0, side_distance=50.0,
             lane_line_lasers=0, lane_line_distance=20.0, line_segs=None,
-            random_agent_model=False, t_radius=None):
+            random_agent_model=False, t_radius=None, circle_slice=None):
     """Full observation [E, 19 + num_others*4 + num_lasers]. ego_long/ego_lat
     are the current-lane local coordinates already computed by localization;
     ``targets`` = (pos, heading, length, width, active) arrays [E,T,...] of
@@ -173,6 +173,7 @@ def observe(scene, sidx, ego, targets, ego_long, ego_lat, num_lasers=240, lidar_
         cloud = raycast.lidar_cloud(
             ego.pos, ego.heading, num_lasers, lidar_distance,
             t_pos, t_heading, t_len, t_wid, t_active, radius=t_radius,
+            circle_slice=circle_slice,
         )
         # gaussian noise / dropout on the cloud (LidarStateObservation
         # _add_noise_to_cloud_points, state_obs.py:234-244)

@@ -68,13 +68,16 @@ def ray_circle_fraction(origin, angles, max_dist, c, r, active):
 
 def lidar_cloud(ego_pos, ego_heading, num_rays, max_dist,
                 npc_pos, npc_heading, npc_len, npc_wid, npc_active,
-                radius=None):
+                radius=None, circle_slice=None):
     """The 240-point lidar cloud (lidar.py:16-73): fraction of `max_dist`
     to the nearest body along each of `num_rays` fanned rays.
 
     ``radius`` [E,N] (optional) marks cylinder bodies: rows with
     radius > 0 ray-cast as circles of that radius (the reference's
-    pedestrian/cone/warning cylinders); rows with radius <= 0 stay OBBs."""
+    pedestrian/cone/warning cylinders); rows with radius <= 0 stay OBBs.
+    ``circle_slice`` optionally bounds the target range that can hold
+    cylinders (the obj+ped slots of _lidar_targets), so the circle pass
+    skips the vehicle axis entirely."""
     i = jnp.arange(num_rays, dtype=jnp.float32)
     angles = ego_heading[:, None] + (2.0 * jnp.pi / num_rays) * i[None, :]
     if radius is None:
@@ -87,8 +90,10 @@ def lidar_cloud(ego_pos, ego_heading, num_rays, max_dist,
         ego_pos, angles, max_dist, npc_pos, npc_heading, npc_len, npc_wid,
         npc_active & ~circ,
     )
+    sl = circle_slice if circle_slice is not None else slice(None)
     circ_frac = ray_circle_fraction(
-        ego_pos, angles, max_dist, npc_pos, radius, npc_active & circ
+        ego_pos, angles, max_dist, npc_pos[:, sl], radius[:, sl],
+        (npc_active & circ)[:, sl],
     )
     return jnp.minimum(box_frac, circ_frac)
 
