@@ -167,6 +167,13 @@ class ScenarioEnv:
         # data_coverage (scenario_data_manager.py:185-190): fraction of this
         # worker's dataset that has entered an episode, times num_workers
         self._seen_scenarios = set()
+        # per-scenario difficulty (data_manager.current_scenario_difficulty
+        # reads SD metadata; 0 when absent)
+        self._difficulty = np.asarray([
+            float((sd.get("metadata") or {}).get("difficulty", 0) or 0)
+            for sd in sds
+        ], np.float32)
+        self._recent_route_completion = None
         self._step_jit = jax.jit(self._step_impl, donate_argnums=0)
         self._reset_jit = jax.jit(self._reset_impl)
         self._reset_jit_cap = self.num_scenarios
@@ -199,8 +206,14 @@ class ScenarioEnv:
         # (scenario_env.py:280-283); per-env device arrays stay device-side
         info["curriculum_level"] = self.current_level
         info["data_coverage"] = self.data_coverage
+        info["num_stored_maps"] = self.num_scenarios
+        info["scenario_difficulty"] = self._difficulty[
+            np.asarray(info["env_seed"]) - self.config["start_scenario_index"]
+        ]
         if self._cur_levels > 1:
             info["curriculum_success"] = self.current_success_rate
+            info["curriculum_route_completion"] = \
+                self.current_route_completion
         return obs, reward, term, trunc, info
 
     # ---- curriculum / coverage stats (reference step_info surface) -------
@@ -231,11 +244,26 @@ class ScenarioEnv:
         seeds = np.unique(np.asarray(info["env_seed"]))
         self._seen_scenarios.update(int(s) - start for s in seeds)
 
+    @property
+    def current_route_completion(self):
+        """Mean route completion over the curriculum evaluation window
+        (curriculum_manager.current_route_completion analog)."""
+        if not self._recent_route_completion:
+            return 0.0
+        return float(np.mean(self._recent_route_completion))
+
     def _curriculum_update(self, term, trunc, info):
         done = np.asarray(term) | np.asarray(trunc)
         if not done.any():
             return
         success = np.asarray(info["arrive_dest"])[done]
+        if self._recent_route_completion is None:
+            from collections import deque
+            self._recent_route_completion = deque(maxlen=self._cur_eval)
+        if "route_completion" in info:
+            self._recent_route_completion.extend(
+                float(r) for r in np.asarray(info["route_completion"])[done]
+            )
         self._cur_recent.extend(bool(s) for s in success)
         if (
             self.current_success_rate
@@ -881,6 +909,14 @@ class ScenarioEnv:
             "on_red_light": on_red, "on_yellow_light": on_yellow_light,
             "episode_reward": episode_reward, "episode_length": state.step_count,
             "env_seed": state.sidx + cfg["start_scenario_index"],
+            # reference step_info extras (scenario_env.py:276-283):
+            # navigation.reference_trajectory.length, lateral_now, seed
+            "track_length": total,
+            "lateral_dist": lat,
+            "scenario_index": state.sidx + cfg["start_scenario_index"],
+            "carsize": jnp.stack(
+                [ego.params.width, ego.params.length], axis=-1
+            ),
             TerminationState.SUCCESS: arrive,
             TerminationState.OUT_OF_ROAD: out_of_road,
             TerminationState.CRASH_VEHICLE: crash_v,
