@@ -144,3 +144,22 @@ def test_sharded_rollout_compiles_once():
     env.rollout(3, actions=acts)
     assert env.env._rollout_jit._cache_size() == 1, \
         "sharded rollout must reuse one executable across calls"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_marl_matches_unsharded():
+    """MARL rows shard env-major over the mesh (E*A rows, whole envs per
+    device), so the [E,A] mutual-lidar/collision reshapes stay local —
+    sharded execution must be numerically identical to unsharded."""
+    from metadrive_ped_tpu import MultiAgentRoundaboutEnv
+    cfg = dict(num_envs=8, num_agents=8, delay_done=5)
+    plain = MultiAgentRoundaboutEnv(cfg)
+    sharded = ShardedEnv(MultiAgentRoundaboutEnv(cfg))
+    o1, _ = plain.reset(seed=3)
+    o2, _ = sharded.reset(seed=3)
+    acts = np.tile([0.1, 0.8], (8, 8, 1)).astype(np.float32)
+    for _ in range(10):
+        o1, r1, *_ = plain.step(acts)
+        o2, r2, *_ = sharded.step(acts)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
