@@ -37,6 +37,21 @@ LANE_LEN = 400.0
 EGO_X = 200.0
 
 
+def load_reference_trajectory_idm_constants():
+    """TrajectoryIDMPolicy class constants (idm_policy.py:426-446): the
+    scenario reactive-traffic twin pins TRAJ_NORMAL_SPEED/IDM_MAX_DIST/
+    DEST_REGION_RADIUS against these."""
+    _stub_modules()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from metadrive.policy.idm_policy import TrajectoryIDMPolicy
+    return dict(
+        NORMAL_SPEED=TrajectoryIDMPolicy.NORMAL_SPEED,
+        IDM_MAX_DIST=TrajectoryIDMPolicy.IDM_MAX_DIST,
+        DEST_REGION_RADIUS=TrajectoryIDMPolicy.DEST_REGION_RADIUS,
+    )
+
+
 def load_reference_idm():
     _stub_modules()
     # idm_policy imports ManualControlPolicy (keyboard/wheel controllers,
@@ -285,6 +300,7 @@ def main():
         steering=steering_sequence(IDMPolicy, PIDController, StraightLane),
         lane_change=lane_change_grid(IDMPolicy, FrontBackObjects,
                                      PIDController, StraightLane),
+        trajectory_idm_constants=load_reference_trajectory_idm_constants(),
     )
     with open(args.out, "w") as f:
         json.dump(golden, f, indent=1)
