@@ -368,3 +368,41 @@ def test_scenario_env_data_coverage_grows(recorded_scenarios):
         obs, r, te, tr, inf = env.step(np.tile([0.0, 0.5], (4, 1)))
     assert inf["data_coverage"] >= cov0
     env.close()
+
+
+def test_synthetic_waymo_sd_seed_sweep():
+    """The bench's synthetic Waymo-shape SDs are per-seed randomized
+    (curvature profiles, piece boundaries, ramp position): every seed must
+    compile to exactly 80 connected lanes and step finitely in BOTH env
+    modes (guards the generator's randomized geometry against degenerate
+    polylines/connectivity)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    sds = [bench._synthetic_waymo_sd(s) for s in range(4, 10)]
+    for sd in sds:
+        lanes = {k: v for k, v in sd["map_features"].items()
+                 if v["type"] == "LANE_SURFACE_STREET"}
+        assert len(lanes) == 80
+        n_branch = sum(1 for v in lanes.values() if len(v["exit_lanes"]) > 1)
+        assert n_branch >= 1, "branching connection must exist"
+        for v in lanes.values():
+            p = np.asarray(v["polyline"])
+            assert len(p) >= 2 and np.isfinite(p).all()
+    env = ScenarioEnv(dict(num_envs=6, scenario_data=sds,
+                           reactive_traffic=True))
+    env.reset(seed=0)
+    for _ in range(5):
+        obs, r, te, tr, inf = env.step(np.tile([0.0, 0.7], (6, 1)))
+    assert np.isfinite(np.asarray(obs)).all()
+    env.close()
+    env2 = ScenarioEnv(dict(num_envs=6, scenario_data=sds, replay_ego=True))
+    env2.reset(seed=0)
+    for _ in range(5):
+        obs2, *_ = env2.step(np.tile([0.0, 0.0], (6, 1)))
+    assert np.isfinite(np.asarray(obs2)).all()
+    env2.close()
