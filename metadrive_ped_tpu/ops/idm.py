@@ -67,8 +67,8 @@ def idm_acceleration(speed_kmh, front_speed_kmh, front_dist, has_front,
     return acc
 
 
-def _lane_gaps(g, exists, npc_pos, npc_len,
-               cand_pos, cand_speed, cand_len, cand_active, not_self):
+def _lane_gaps(g, exists, npc_pos,
+               cand_pos, cand_speed, cand_active, not_self):
     """Front/back gap search projected on pre-gathered lanes ``g`` [E,N]
     (FrontBackObjects, idm_policy.py:10-174); ``exists`` [E,N] masks rows
     whose lane id was < 0. Returns (front_gap, front_speed, back_gap).
@@ -191,22 +191,20 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
     extra_bodies = (pos [E,X,2], speed [E,X], length [E,X], active [E,X])
     adds further vehicles the NPCs must react to (all MARL agents)."""
     E, N = npc.lane.shape
-    pos_l, speed_l = [npc.pos], [npc.speed]
-    len_l, act_l = [npc.params.length], [npc.active]
+    pos_l, speed_l, act_l = [npc.pos], [npc.speed], [npc.active]
     if ego is not None:
         pos_l.append(ego.pos[:, None, :])
         speed_l.append(ego.speed[:, None])
-        len_l.append(ego.params.length[:, None])
         act_l.append(jnp.ones((E, 1), bool))
     if extra_bodies is not None:
-        x_pos, x_speed, x_len, x_act = extra_bodies
+        # (pos, speed, length, active) — length was consumed by the old
+        # bumper-gap convention; distances are center-to-center now
+        x_pos, x_speed, _x_len, x_act = extra_bodies
         pos_l.append(x_pos)
         speed_l.append(x_speed)
-        len_l.append(x_len)
         act_l.append(x_act)
     cand_pos = jnp.concatenate(pos_l, axis=1)                               # [E,C,2]
     cand_speed = jnp.concatenate(speed_l, axis=1)
-    cand_len = jnp.concatenate(len_l, axis=1)
     cand_active = jnp.concatenate(act_l, axis=1)
     C = cand_pos.shape[1]
     not_self = ~jnp.eye(N, C, dtype=bool)[None]
@@ -218,8 +216,8 @@ def step_npcs(scene, sidx, npc, ego, dt=0.02, substeps=5, respawn_mode=False,
         scene, sidx[:, None], npc.lane
     )
     gaps = lambda geom, exists: _lane_gaps(
-        geom, exists, npc.pos, npc.params.length,
-        cand_pos, cand_speed, cand_len, cand_active, not_self,
+        geom, exists, npc.pos,
+        cand_pos, cand_speed, cand_active, not_self,
     )
     l_exists = g["left"] >= 0
     r_exists = g["right"] >= 0
