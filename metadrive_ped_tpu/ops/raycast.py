@@ -12,13 +12,29 @@ the full circle starting at the vehicle head).
 import jax.numpy as jnp
 
 
-def ray_obb_fraction(origin, angles, max_dist, obb_c, obb_h, obb_len, obb_wid, obb_active):
+def _fan_dirs(heading, num_rays, offset=0.0):
+    """Unit directions of the ray fan heading + offset + 2*pi*i/N, via the
+    angle-addition identity: TWO transcendentals per env (cos/sin of the
+    heading) against constant fan tables, instead of two per RAY — the
+    [E,R] cos/sin pair was a visible slice of the lidar fusions at 8192
+    envs x 240 rays."""
+    i = jnp.arange(num_rays, dtype=jnp.float32)
+    phi = offset + (2.0 * jnp.pi / num_rays) * i
+    cphi, sphi = jnp.cos(phi)[None, :], jnp.sin(phi)[None, :]  # constants
+    ch, sh = jnp.cos(heading)[:, None], jnp.sin(heading)[:, None]
+    return ch * cphi - sh * sphi, sh * cphi + ch * sphi
+
+
+def ray_obb_fraction(origin, angles, max_dist, obb_c, obb_h, obb_len, obb_wid, obb_active,
+                     dirs=None):
     """Min hit fraction of each ray against a set of OBBs.
 
-    origin [E,2]; angles [E,R]; obb_* [E,N]; returns [E,R] in [0,1].
+    origin [E,2]; angles [E,R] (or precomputed unit ``dirs``); obb_* [E,N];
+    returns [E,R] in [0,1].
     """
-    dirx = jnp.cos(angles)[:, :, None]           # [E,R,1]
-    diry = jnp.sin(angles)[:, :, None]
+    dx0, dy0 = dirs if dirs is not None else (jnp.cos(angles), jnp.sin(angles))
+    dirx = dx0[:, :, None]                       # [E,R,1]
+    diry = dy0[:, :, None]
     # transform ray into each OBB frame
     c, s = jnp.cos(obb_h)[:, None, :], jnp.sin(obb_h)[:, None, :]  # [E,1,N]
     relx = origin[:, 0][:, None, None] - obb_c[..., 0][:, None, :]
@@ -44,15 +60,17 @@ def ray_obb_fraction(origin, angles, max_dist, obb_c, obb_h, obb_len, obb_wid, o
     return frac.min(axis=2)
 
 
-def ray_circle_fraction(origin, angles, max_dist, c, r, active):
+def ray_circle_fraction(origin, angles, max_dist, c, r, active, dirs=None):
     """Min hit fraction of rays against circles (the reference's cylinder
     bodies: pedestrians r=0.35 pedestrian.py:12-118, cones r=0.2 /
     warnings r=0.5 traffic_object.py:43-160).
 
-    origin [E,2]; angles [E,R]; c [E,N,2]; r [E,N]; active [E,N] -> [E,R].
+    origin [E,2]; angles [E,R] (or precomputed unit ``dirs``); c [E,N,2];
+    r [E,N]; active [E,N] -> [E,R].
     """
-    dirx = jnp.cos(angles)[:, :, None]               # [E,R,1]
-    diry = jnp.sin(angles)[:, :, None]
+    dx0, dy0 = dirs if dirs is not None else (jnp.cos(angles), jnp.sin(angles))
+    dirx = dx0[:, :, None]                           # [E,R,1]
+    diry = dy0[:, :, None]
     relx = c[..., 0][:, None, :] - origin[:, 0][:, None, None]   # [E,R,N]
     rely = c[..., 1][:, None, :] - origin[:, 1][:, None, None]
     # |o + t d - c|^2 = r^2 with |d| = 1: t^2 - 2 b t + (|rel|^2 - r^2) = 0
@@ -78,35 +96,36 @@ def lidar_cloud(ego_pos, ego_heading, num_rays, max_dist,
     ``circle_slice`` optionally bounds the target range that can hold
     cylinders (the obj+ped slots of _lidar_targets), so the circle pass
     skips the vehicle axis entirely."""
-    i = jnp.arange(num_rays, dtype=jnp.float32)
-    angles = ego_heading[:, None] + (2.0 * jnp.pi / num_rays) * i[None, :]
+    dirs = _fan_dirs(ego_heading, num_rays)
     if radius is None:
         return ray_obb_fraction(
-            ego_pos, angles, max_dist, npc_pos, npc_heading, npc_len,
-            npc_wid, npc_active
+            ego_pos, None, max_dist, npc_pos, npc_heading, npc_len,
+            npc_wid, npc_active, dirs=dirs,
         )
     circ = radius > 0
     box_frac = ray_obb_fraction(
-        ego_pos, angles, max_dist, npc_pos, npc_heading, npc_len, npc_wid,
-        npc_active & ~circ,
+        ego_pos, None, max_dist, npc_pos, npc_heading, npc_len, npc_wid,
+        npc_active & ~circ, dirs=dirs,
     )
     sl = circle_slice if circle_slice is not None else slice(None)
     circ_frac = ray_circle_fraction(
-        ego_pos, angles, max_dist, npc_pos[:, sl], radius[:, sl],
-        (npc_active & circ)[:, sl],
+        ego_pos, None, max_dist, npc_pos[:, sl], radius[:, sl],
+        (npc_active & circ)[:, sl], dirs=dirs,
     )
     return jnp.minimum(box_frac, circ_frac)
 
 
-def ray_segment_fraction(origin, angles, max_dist, p0, p1, valid):
+def ray_segment_fraction(origin, angles, max_dist, p0, p1, valid, dirs=None):
     """Min hit fraction of rays against 2D segments (the side/lane-line
     detectors' rayTestClosest vs lane-line ghosts,
     distance_detector.py:27-85 + SideDetector :194).
 
-    origin [E,2]; angles [E,R]; p0/p1 [E,B,2]; valid [E,B] -> [E,R].
+    origin [E,2]; angles [E,R] (or precomputed unit ``dirs``);
+    p0/p1 [E,B,2]; valid [E,B] -> [E,R].
     """
-    dx = jnp.cos(angles)[:, :, None]  # [E,R,1]
-    dy = jnp.sin(angles)[:, :, None]
+    dx0, dy0 = dirs if dirs is not None else (jnp.cos(angles), jnp.sin(angles))
+    dx = dx0[:, :, None]              # [E,R,1]
+    dy = dy0[:, :, None]
     ax = p0[..., 0][:, None, :]       # [E,1,B]
     ay = p0[..., 1][:, None, :]
     sx = (p1[..., 0] - p0[..., 0])[:, None, :]
@@ -128,6 +147,6 @@ def ray_segment_fraction(origin, angles, max_dist, p0, p1, valid):
 def side_detector_cloud(ego_pos, ego_heading, num_rays, max_dist, p0, p1, valid):
     """SideDetector: rays offset 90 deg fanned over the circle
     (distance_detector.py:118-160 side variant)."""
-    i = jnp.arange(num_rays, dtype=jnp.float32)
-    angles = ego_heading[:, None] + jnp.pi / 2 + (2.0 * jnp.pi / num_rays) * i[None, :]
-    return ray_segment_fraction(ego_pos, angles, max_dist, p0, p1, valid)
+    dirs = _fan_dirs(ego_heading, num_rays, offset=jnp.pi / 2)
+    return ray_segment_fraction(ego_pos, None, max_dist, p0, p1, valid,
+                                dirs=dirs)
