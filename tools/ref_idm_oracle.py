@@ -226,6 +226,29 @@ def lane_change_grid(IDMPolicy, FrontBackObjects, PIDController,
     # plain follow with no front at all -> fall-through branch
     cases_spec.append(dict(kind="follow_no_front", n_lanes=3, ego_lane=1,
                            v=45.0, timer=F + 1, drop=None, objs=[]))
+    # 2-lane road: only one neighbor side ever exists
+    for ego_lane, label in [(0, "right_only"), (1, "left_only")]:
+        cases_spec.append(dict(
+            kind=f"overtake_2lane_{label}", n_lanes=2, ego_lane=ego_lane,
+            v=45.0, timer=F + 1, drop=None,
+            objs=[(ego_lane, 12.0, 10.0), (1 - ego_lane, 20.0, 35.0)],
+        ))
+    # 2-lane forced drop (the whole neighbor axis is the target)
+    cases_spec.append(dict(kind="forced_2lane_right_drop", n_lanes=2,
+                           ego_lane=1, v=20.0, timer=0, drop="right",
+                           objs=[]))
+    # speed-increase threshold boundary: diff exactly 10 km/h must NOT
+    # trigger (strict >), 10.5 must
+    cases_spec.append(dict(kind="overtake_threshold_exact", n_lanes=3,
+                           ego_lane=1, v=45.0, timer=F + 1, drop=None,
+                           objs=[(1, 12.0, 10.0), (0, 20.0, 20.0)]))
+    cases_spec.append(dict(kind="overtake_threshold_over", n_lanes=3,
+                           ego_lane=1, v=45.0, timer=F + 1, drop=None,
+                           objs=[(1, 12.0, 10.0), (0, 20.0, 20.5)]))
+    # slow ego crawling behind a slow front (both far from NORMAL_SPEED)
+    cases_spec.append(dict(kind="overtake_slow_ego", n_lanes=3, ego_lane=1,
+                           v=8.0, timer=F + 1, drop=None,
+                           objs=[(1, 6.0, 5.0)]))
 
     out = []
     for spec in cases_spec:
