@@ -434,8 +434,9 @@ class MultiAgentIntersectionEnv(MultiAgentMetaDrive):
 
     The map is the reference's fixed MAIntersectionMap (marl_intersection
     .py:27-68): FirstPGBlock(exit_length=60) + InterSection(random_seed=1,
-    EXIT_PART_LENGTH=60). The reference's lane_num>1 u-turn connector
-    (enable_u_turn) is not wired — see docs/divergences.md."""
+    EXIT_PART_LENGTH=60, enable_u_turn for lane_num>1); agents may route a
+    u-turn back out their own arm (MAIntersectionSpawnManager default
+    disable_u_turn=False)."""
 
     @classmethod
     def default_config(cls):
@@ -446,9 +447,8 @@ class MultiAgentIntersectionEnv(MultiAgentMetaDrive):
                 num_agents=30,
                 map_config=dict(
                     lane_width=3.5, lane_num=2, exit_length=60.0,
-                    custom_blocks=[dict(id="X", random_seed=1, config=dict(
-                        exit_part_length=60.0,
-                    ))],
+                    custom_blocks=[dict(id="X", random_seed=1, u_turn=True,
+                                        config=dict(exit_part_length=60.0))],
                 ),
                 spawn_roads=[
                     (">>", ">>>"),
@@ -460,3 +460,8 @@ class MultiAgentIntersectionEnv(MultiAgentMetaDrive):
             allow_add_new_key=True,
         )
         return config
+
+    def _scene_config(self):
+        cfg = super()._scene_config()
+        cfg["spawn_u_turn_dests"] = True
+        return cfg

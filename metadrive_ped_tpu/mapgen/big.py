@@ -245,6 +245,9 @@ def generate_map(seed, map_config):
             block.side_line_override = spec.get(
                 "side_line_type", map_config.get("side_line_type")
             )
+            if spec.get("u_turn"):
+                # MAIntersectionMap.enable_u_turn (marl_intersection.py:61)
+                block._enable_u_turn = True
             # custom maps are hand-authored; skip the sampling-time overlap
             # rejection (the reference passes explicit configs the same way)
             ok = block.construct(spec.get("config"), check_overlap=False)

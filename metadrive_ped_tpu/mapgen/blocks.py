@@ -603,6 +603,28 @@ class InterSection(PGBlock):
             **self._cross_kwargs()
         )
 
+        # u-turn connector (intersection.py:112-115, 223-248): a 180-degree
+        # bend of radius lane_width/2 from the arm's leftmost lane onto the
+        # arm's OWN adverse road. Off by default; the MARL intersection map
+        # enables it for lane_num > 1 (marl_intersection.py:61-65) via the
+        # custom_blocks "u_turn" spec key.
+        if getattr(self, "_enable_u_turn", False):
+            lanes_u = (attach_road.get_lanes(self.block_network)
+                       if part_idx != 0 else
+                       self.pre_block_socket.get_positive_lanes(self.global_network))
+            u_left = lanes_u[0]
+            u_bend, _ = create_bend_straight(
+                u_left, 0.1, width / 2, math.radians(180), False,
+                u_left.width, [LINE_NONE, LINE_NONE],
+            )
+            create_road_from(
+                u_bend, len(lanes_u),
+                Road(attach_road.end_node, (-attach_road).start_node),
+                self.block_network, toward_smaller_lane_index=False,
+                center_line_type=LINE_NONE, side_line_type=LINE_NONE,
+                inner_line_type=LINE_NONE, **self._cross_kwargs()
+            )
+
         # straight-through lanes (intersection.py:118-127)
         straight_len = 2 * radius + (2 * lane_num - 1) * width
         for l in attach_lanes:

@@ -267,6 +267,11 @@ def compile_scene(seed, config):
                      for j in range(int((length - 5.0) / RESPAWN_REGION_LONGITUDE) + 1)]
             if dest_nodes_cfg is not None:
                 dest_choices = list(dest_nodes_cfg[ai])
+            elif config.get("spawn_u_turn_dests"):
+                # the reference's default MAIntersectionSpawnManager keeps
+                # the agent's OWN road among the end roads (u-turn routes,
+                # marl_intersection.py:70-79 disable_u_turn=False)
+                dest_choices = list(exit_nodes)
             else:
                 dest_choices = [exit_nodes[aj] for aj in range(len(arms)) if aj != ai] or fallback_dests
             for long in longs:

@@ -342,3 +342,19 @@ def test_marl_bottleneck_topology_matches_reference():
         assert counts.max() == 4, f"{Env.__name__}: 4-lane approaches expected"
         assert (counts == 1).any(), f"{Env.__name__}: 1-lane neck expected"
         env.close()
+
+
+def test_marl_intersection_u_turn_connector():
+    """MAIntersectionMap parity: enable_u_turn for lane_num>1
+    (marl_intersection.py:61-65) adds a 180-degree connector per arm, and
+    the default spawn manager keeps the agent's own road among the end
+    roads (disable_u_turn=False), so own-arm u-turn routes exist."""
+    from metadrive_ped_tpu.mapgen.big import generate_map
+    cfg = MultiAgentIntersectionEnv.default_config()
+    net, _ = generate_map(0, dict(cfg["map_config"]))
+    roads = [(a, b) for a in net.graph for b in net.graph[a]]
+    ut = [(a, b) for a, b in roads if b == "-" + a or a == "-" + b]
+    assert len(ut) == 4, f"one u-turn connector per arm, got {ut}"
+    # routing can send an agent back out its own arm via the connector
+    path = net.shortest_path((">>", None, 0), "->>")
+    assert path and "->>>" in path, path
