@@ -85,6 +85,12 @@ class BaseVectorEnv:
                 num_workers=1,
                 map=3,  # int block count or block-ID string (pg_map.py:17-36)
                 map_config=dict(lane_width=3.5, lane_num=3, exit_length=50.0,
+                                # the reference's BaseMap.GENERATE_TYPE/
+                                # GENERATE_CONFIG keys (base_map.py:30-41):
+                                # config overrides the top-level `map`;
+                                # type is implied by the value (int =
+                                # block count, str = block sequence)
+                                type=None, config=None,
                                 xodr_file=None,  # OpenDrive ingest (mapgen/opendrive.py)
                                 # CityBIG growth instead of linear BIG
                                 # (component/map/city_map.py:97-113)
@@ -248,7 +254,8 @@ class BaseVectorEnv:
             assert seeds, "num_scenarios leaves this worker without seeds"
         self._seeds = np.asarray(seeds, np.int32)
         map_cfg = dict(cfg["map_config"])
-        map_cfg["config"] = cfg["map"]
+        if map_cfg.get("config") is None:
+            map_cfg["config"] = cfg["map"]
         if cfg["map_pack_file"]:
             # load a pre-compiled scene pack (PGMapManager.load_all_maps
             # parity, pg_map_manager.py:112-133)

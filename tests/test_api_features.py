@@ -506,3 +506,25 @@ def test_generate_video_example():
     files = os.listdir(out)
     assert any(f.startswith("0_bev") for f in files), files
     assert any(f.startswith("0_interface") for f in files), files
+
+
+def test_reference_shaped_map_config():
+    """The reference's BaseMap.GENERATE_TYPE/GENERATE_CONFIG style
+    (base_map.py:30-41: map_config={"type": ..., "config": ...}) runs
+    unchanged and is equivalent to the top-level `map` key."""
+    from metadrive_ped_tpu.mapgen.scene import compile_scene
+    a = compile_scene(0, dict(map_config=dict(
+        lane_width=3.5, lane_num=3, exit_length=50.0, config="SC")))
+    env = MetaDriveEnv(dict(num_envs=2, num_scenarios=1,
+                            map_config=dict(type="block_sequence",
+                                            config="SC")))
+    b = env._pack
+    np.testing.assert_array_equal(
+        np.asarray(a["lane_kind"]), np.asarray(b["lane_kind"])[0]
+    )
+    env.close()
+    env2 = MetaDriveEnv(dict(num_envs=2, num_scenarios=1, map="SC"))
+    np.testing.assert_array_equal(
+        np.asarray(env2._pack["lane_kind"]), np.asarray(b["lane_kind"])
+    )
+    env2.close()
