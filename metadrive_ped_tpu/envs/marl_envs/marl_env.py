@@ -302,7 +302,14 @@ class MultiAgentMetaDrive(MetaDriveEnv):
         return self._rows_to_EA(obs), info
 
     def step(self, actions):
-        actions = jnp.asarray(actions, jnp.float32).reshape(self.num_envs, 2)
+        if self.config["discrete_action"] and not self.config["use_multi_discrete"]:
+            # one integer per agent row; the base class expands it
+            # (env_input_policy.py convert_to_continuous_action)
+            actions = jnp.asarray(actions).reshape(self.num_envs)
+        else:
+            actions = jnp.asarray(actions).reshape(self.num_envs, 2)
+            if not self.config["discrete_action"]:
+                actions = actions.astype(jnp.float32)
         obs, reward, terminated, truncated, info = super().step(actions)
         r = self._rows_to_EA
         info = {k: r(v) if hasattr(v, "shape") and v.shape[:1] == (self.num_envs,) else v

@@ -358,3 +358,27 @@ def test_marl_intersection_u_turn_connector():
     # routing can send an agent back out its own arm via the connector
     path = net.shortest_path((">>", None, 0), "->>")
     assert path and "->>>" in path, path
+
+
+def test_marl_discrete_actions():
+    """MARL envs accept discrete actions like the reference (the base
+    EnvInputPolicy discrete grid applies per agent row)."""
+    env = MultiAgentRoundaboutEnv(dict(
+        num_envs=1, num_agents=4, discrete_action=True,
+        discrete_steering_dim=3, discrete_throttle_dim=3,
+    ))
+    obs, info = env.reset(seed=0)
+    for _ in range(5):
+        obs, r, te, tr, inf = env.step(np.full((1, 4), 4, np.int32))
+    assert np.isfinite(np.asarray(obs)).all()
+    # multi-discrete: (steer_idx, throttle_idx) per agent
+    env.close()
+    env2 = MultiAgentRoundaboutEnv(dict(
+        num_envs=1, num_agents=4, discrete_action=True,
+        use_multi_discrete=True, discrete_steering_dim=3,
+        discrete_throttle_dim=3,
+    ))
+    env2.reset(seed=0)
+    obs2, *_ = env2.step(np.full((1, 4, 2), 1, np.int32))
+    assert np.isfinite(np.asarray(obs2)).all()
+    env2.close()
