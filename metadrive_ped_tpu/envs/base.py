@@ -159,6 +159,16 @@ class BaseVectorEnv:
                 height_scale=50,        # accepted for config parity; only the
                                         # flat-plane value (terrain stays flat)
                 show_terrain=True,      # render-only in the reference; ignored
+                # ---- realtime window (base_env.py use_render): this build
+                # is always headless — False (every reference tutorial's
+                # setting) is accepted as the no-op it is; True raises in
+                # __init__ (no Panda3D window exists; use env.render()).
+                # window_size sizes that window — accepted and ignored.
+                use_render=False,
+                window_size=(1200, 900),
+                # logger level (base_env.py log_level; engine sets it on
+                # reset) — applied to core.logger at construction
+                log_level=None,
                 # ---- HUD / realtime interface (engine/interface.py:19,
                 # engine/core/force_fps.py) — accepted-and-ignored: there is
                 # no realtime Panda3D window to decorate or throttle; the
@@ -219,6 +229,17 @@ class BaseVectorEnv:
             # instead of key-merging it (base_env.py sensor registration)
             self.config.update(config, stop_recursive_update=("sensors",))
         cfg = self.config
+        if cfg["use_render"]:
+            raise NotImplementedError(
+                "use_render=True: there is no realtime Panda3D window in "
+                "the TPU build — every env is headless. Use env.render() "
+                "('topdown' / 'rgb_array' / 'dashboard') for frames, or "
+                "examples/generate_video_for_bev_and_interface.py for "
+                "videos. See docs/divergences.md."
+            )
+        if cfg["log_level"] is not None:
+            from metadrive_ped_tpu.core.logger import get_logger
+            get_logger().setLevel(cfg["log_level"])
         if cfg["use_mesh_terrain"]:
             raise NotImplementedError(
                 "use_mesh_terrain=True: the TPU build simulates on an "

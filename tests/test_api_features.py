@@ -528,3 +528,20 @@ def test_reference_shaped_map_config():
         np.asarray(env2._pack["lane_kind"]), np.asarray(b["lane_kind"])
     )
     env2.close()
+
+
+def test_reference_tutorial_config_surface():
+    """The reference tutorials' most common config keys run unchanged:
+    use_render=False (always-headless no-op), window_size (render-only,
+    ignored), log_level (applied to the logger); use_render=True raises
+    because no realtime window exists."""
+    import pytest
+    env = MetaDriveEnv(dict(
+        num_envs=2, use_render=False, num_scenarios=2, traffic_density=0.1,
+        map=2, log_level=50, window_size=(900, 600), manual_control=False,
+    ))
+    env.reset(seed=0)
+    env.step(np.tile([0.0, 0.5], (2, 1)))
+    env.close()
+    with pytest.raises(NotImplementedError):
+        MetaDriveEnv(dict(num_envs=2, use_render=True))
